@@ -1,0 +1,30 @@
+"""rslqr_tpu — a TPU-native rsLQR / LQR solver framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of bjack205/rsLQR
+(see SURVEY.md): batched recursive Schur-complement ("nested dissection") LQR
+solves over a binary tree of knot points, plus the serial Riccati recursion as
+a parity oracle, with batch- and horizon-sharding over TPU meshes.
+"""
+
+from .problem import (
+    LQRProblem,
+    batch_problems,
+    double_integrator_problem,
+    kkt_residual,
+    objective,
+    pack_solution,
+    perturb_problem,
+    problem_from_arrays,
+    random_problem,
+    unpack_solution,
+)
+from .io import (
+    read_lqr_data_json,
+    read_lqr_problem_json,
+    read_named_matrix,
+    write_lqr_problem_json,
+)
+from .riccati import RiccatiSolution, backward_pass, forward_pass, solve_riccati
+from .tree import TreeTables, build_tree_tables
+
+__version__ = "0.1.0"
