@@ -209,27 +209,32 @@ def batch_problems(prob: LQRProblem, keys: jax.Array, scale: float = 0.1) -> LQR
 
 
 def unpack_solution(prob: LQRProblem, soln: jax.Array):
-    """Split the flat KKT vector ``[y0 x0 u0 ... y_{N-1} x_{N-1}]`` into
+    """Split flat KKT vector(s) ``[..., (y0 x0 u0 ... y_{N-1} x_{N-1})]`` into
     ``(Y, X, U)`` stacked arrays (ref variable ordering: solve.h:50-53).
 
-    Returns Y ``[N, n]``, X ``[N, n]``, U ``[N-1, m]``.
+    Returns Y ``[..., N, n]``, X ``[..., N, n]``, U ``[..., N-1, m]``;
+    leading batch axes pass through.
     """
     n, m, N = prob.nstates, prob.ninputs, prob.nhorizon
     stride = 2 * n + m
-    body = soln[: stride * (N - 1)].reshape(N - 1, stride)
-    tail = soln[stride * (N - 1):]
-    Y = jnp.concatenate([body[:, :n], tail[None, :n]], axis=0)
-    X = jnp.concatenate([body[:, n : 2 * n], tail[None, n : 2 * n]], axis=0)
-    U = body[:, 2 * n :]
+    batch = soln.shape[:-1]
+    body = soln[..., : stride * (N - 1)].reshape(batch + (N - 1, stride))
+    tail = soln[..., stride * (N - 1):]
+    Y = jnp.concatenate([body[..., :n], tail[..., None, :n]], axis=-2)
+    X = jnp.concatenate([body[..., n : 2 * n], tail[..., None, n : 2 * n]], axis=-2)
+    U = body[..., 2 * n :]
     return Y, X, U
 
 
 def pack_solution(Y: jax.Array, X: jax.Array, U: jax.Array) -> jax.Array:
-    """Inverse of :func:`unpack_solution`."""
-    N = X.shape[0]
-    body = jnp.concatenate([Y[: N - 1], X[: N - 1], U], axis=-1).reshape(-1)
-    tail = jnp.concatenate([Y[N - 1], X[N - 1]])
-    return jnp.concatenate([body, tail])
+    """Inverse of :func:`unpack_solution`; batch axes (leading) pass through."""
+    N = X.shape[-2]
+    batch = X.shape[:-2]
+    body = jnp.concatenate(
+        [Y[..., : N - 1, :], X[..., : N - 1, :], U], axis=-1
+    ).reshape(batch + (-1,))
+    tail = jnp.concatenate([Y[..., N - 1, :], X[..., N - 1, :]], axis=-1)
+    return jnp.concatenate([body, tail], axis=-1)
 
 
 def objective(prob: LQRProblem, X: jax.Array, U: jax.Array) -> jax.Array:

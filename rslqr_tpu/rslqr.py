@@ -6,7 +6,7 @@ nddata,cholesky_factors}.{h,c}``. This is NOT a port; the mapping is:
   reference (C + OpenMP)                      this module (JAX/XLA)
   ------------------------------------------  --------------------------------
   NdData pointer grid of per-block Matrix     dense stacked arrays
-    views (nddata.c:31-53)                      ``[depth, N, n, ·]``
+    views (nddata.c:31-53)                      ``[depth, N, n, ., *batch]``
   ``data`` NdData holding A', B', -I, 0       nothing — the blocks are purely
     blocks (solver.c:146-175)                   structural, so inner products
                                                 read ``A``/``B`` directly
@@ -20,11 +20,20 @@ nddata,cholesky_factors}.{h,c}``. This is NOT a port; the mapping is:
                                                 parallelizes within each op
   pointer-walk tree queries (binary_tree.c)   precomputed constant index
                                                 tables (rslqr_tpu.tree)
+  AVX2 micro-kernels over one tiny block      batch-last layout: the problem
+    (matmul.c)                                  batch rides the 128-lane axis,
+                                                block math unrolls elementwise
+                                                (rslqr_tpu.linalg)
 
-Everything is pure: ``solve(prob)`` is jittable, vmappable over batches of
-problems, and differentiable. Algorithm reference: docs/rslqr.dox:65-138.
+Batch layout note: instances are carried in TRAILING axes internally so XLA
+tiles the batch along the 128-wide lane dimension. A vmap-style leading batch
+(``[B, N, ...]`` problem arrays) is accepted by :func:`solve` and transposed
+at entry/exit; batching this way instead of ``jax.vmap(solve)`` avoids a 28x
+tile-padding blowup of the tiny ``6x6`` blocks on TPU.
 
-Math per level L (numleaves = 2^(depth-L-1), node idx = 2^L(2j+1)-1):
+Everything is pure: jittable, differentiable, shardable.
+Algorithm reference: docs/rslqr.dox:65-138. Math per level L
+(numleaves = 2^(depth-L-1), node idx = 2^L(2j+1)-1):
 
   1. inner products  (ref nested_dissection.c:114-134, solve.c:71-83):
        for fact_level u in [L, depth):
@@ -45,45 +54,48 @@ Cholesky factors (solve.c:137-182).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .problem import LQRProblem, pack_solution, unpack_solution
+from . import linalg as la
+from .problem import LQRProblem, pack_solution
 from .tree import TreeTables, build_tree_tables
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class RsLqrFactorization:
-    """The factorization state after the level sweep.
+    """The factorization state of the level sweep.
 
     Attributes:
-      Flambda/Fstate/Finput: ``[depth, N, {n,n,m}, n]`` factor grids — the
+      Flambda/Fstate/Finput: ``[depth, N, {n,n,m}, n, *b]`` factor grids — the
         functional analogue of the reference's ``fact`` NdData
         (nddata.h:83-93).
-      chol: ``[N-1, n, n]`` lower Cholesky factors of every separator Sbar,
-        stacked in node order — the analogue of NdLqrCholeskyFactors
-        (cholesky_factors.h:30-35). ``chol[idx]`` is the factor for node
-        ``idx``; used to re-solve new right-hand sides.
+      chol: ``[N-1, n, n, *b]`` lower Cholesky factors of every separator
+        Sbar, stacked in node order — the analogue of NdLqrCholeskyFactors
+        (cholesky_factors.h:30-35); reused to solve fresh right-hand sides.
+      nbatch: number of trailing batch axes in the arrays (static).
     """
 
     Flambda: jax.Array
     Fstate: jax.Array
     Finput: jax.Array
     chol: jax.Array
+    nbatch: int = dataclasses.field(metadata=dict(static=True), default=0)
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class RsLqrSolution:
-    """Solution of one rsLQR solve.
+    """Solution of one (possibly batched) rsLQR solve.
 
-    ``Y``/``X`` are ``[N, n]``, ``U`` is ``[N-1, m]``; ``kkt_vector`` gives
-    the flat interleaved layout matching the reference (solve.h:50-53).
+    ``Y``/``X`` are ``[*batch, N, n]``, ``U`` is ``[*batch, N-1, m]`` —
+    batch LEADING, matching the vmap convention of the rest of the API.
+    ``kkt_vector`` gives the flat interleaved layout of the reference
+    (solve.h:50-53).
     """
 
     Y: jax.Array
@@ -95,58 +107,77 @@ class RsLqrSolution:
         return pack_solution(self.Y, self.X, self.U)
 
 
-def _leaf_solve(prob: LQRProblem, levels: np.ndarray, depth: int):
+def _bl(x: jax.Array, nlead: int) -> jax.Array:
+    """Move ``nlead`` leading batch axes to the back (batch-last layout)."""
+    if nlead == 0:
+        return x
+    perm = tuple(range(nlead, x.ndim)) + tuple(range(nlead))
+    return jnp.transpose(x, perm)
+
+
+def _bf(x: jax.Array, nbatch: int) -> jax.Array:
+    """Move ``nbatch`` trailing batch axes to the front (vmap layout)."""
+    if nbatch == 0:
+        return x
+    nd = x.ndim
+    perm = tuple(range(nd - nbatch, nd)) + tuple(range(nd - nbatch))
+    return jnp.transpose(x, perm)
+
+
+def _leaf_solve(prob: LQRProblem, levels: np.ndarray, depth: int, nb: int = 0):
     """Phase 1: independent per-knot leaf solves (ref nested_dissection.c:10-105).
 
-    Returns the initialized factor grids and RHS vectors. Because Q and R are
-    diagonal, every "Cholesky solve" here is an elementwise scale by 1/diag —
-    the reference factorizes dense diagonal matrices instead
+    ``prob`` arrays must already be batch-last with ``nb`` trailing batch
+    axes. Returns the initialized factor grids and RHS vectors. Because Q and
+    R are diagonal, every "Cholesky solve" here is an elementwise scale by
+    1/diag — the reference factorizes dense diagonal matrices instead
     (nested_dissection.c:40-77), which the TPU design sidesteps entirely.
     """
-    N, n, m = prob.nhorizon, prob.nstates, prob.ninputs
-    dtype = prob.A.dtype
-    qinv = 1.0 / prob.Qdiag  # [N, n]
-    rinv = 1.0 / prob.Rdiag  # [N, m]
+    A, Bm = prob.A, prob.B
+    N = A.shape[0]
+    n = A.shape[1]
+    m = Bm.shape[2]
+    b_shape = A.shape[3:]
+    dtype = A.dtype
+    qinv = 1.0 / prob.Qdiag  # [N, n, *b]
+    rinv = 1.0 / prob.Rdiag  # [N, m, *b]
+    # diag-scale helpers: (diag(d) @ M)[i, j] = d[i] * M[i, j]
+    qcol = jnp.expand_dims(qinv, -(nb + 1))  # [N, n, 1, *b]
+    rcol = jnp.expand_dims(rinv, -(nb + 1))  # [N, m, 1, *b]
 
-    Flambda = jnp.zeros((depth, N, n, n), dtype)
-    Fstate = jnp.zeros((depth, N, n, n), dtype)
-    Finput = jnp.zeros((depth, N, m, n), dtype)
+    Flambda = jnp.zeros((depth, N, n, n) + b_shape, dtype)
+    Fstate = jnp.zeros((depth, N, n, n) + b_shape, dtype)
+    Finput = jnp.zeros((depth, N, m, n) + b_shape, dtype)
+
+    At = la.transpose_block(A, nb)  # [N, n, n, *b]
+    Bt = la.transpose_block(Bm, nb)  # [N, m, n, *b]
 
     # --- negated RHS (ref solver.c:187-190): z = -[x0; q0; r0; d0; q1; ...]
-    zy = jnp.concatenate([-prob.x0[None], -prob.f[:-1]], axis=0)  # [N, n]
-    zx = -prob.q  # [N, n]
-    zu = -prob.r  # [N, m]  (last row unused)
+    zy = jnp.concatenate([-prob.x0[None], -prob.f[:-1]], axis=0)  # [N, n, *b]
+    zx = -prob.q
+    zu = -prob.r
 
     # --- knots 1..N-1 common terms (ref nested_dissection.c:60-103)
-    # zx_k <- Q_k^{-1} zx_k for k >= 1; zu_k <- R_k^{-1} zu_k for 1 <= k < N-1.
     zx = zx.at[1:].mul(qinv[1:])
     zu = zu.at[1:-1].mul(rinv[1:-1])
 
     # F[level(k), k] <- {Q_k^{-1} A_k', R_k^{-1} B_k'} for 1 <= k < N-1
-    # (ref nested_dissection.c:81-86). Scatter along the level axis with the
-    # static level table; knots 0 and N-1 are handled separately below.
+    # (ref nested_dissection.c:81-86), scattered via the static level table.
     ks = np.arange(1, N - 1)
-    lvl = levels[ks]  # level(k) for the own-dynamics block
-    Fstate = Fstate.at[lvl, ks].set(
-        jnp.swapaxes(prob.A[1:-1], -1, -2) * qinv[1:-1, :, None]
-    )
-    Finput = Finput.at[lvl, ks].set(
-        jnp.swapaxes(prob.B[1:-1], -1, -2) * rinv[1:-1, :, None]
-    )
+    lvl = levels[ks]
+    Fstate = Fstate.at[lvl, ks].set(At[1:-1] * qcol[1:-1])
+    Finput = Finput.at[lvl, ks].set(Bt[1:-1] * rcol[1:-1])
 
     # F[level(k-1), k] <- {Q_k^{-1} (-I), 0} for k >= 1
-    # (ref nested_dissection.c:92-102: the -I block from the previous step's
-    # dynamics, solved against Q_k).
+    # (ref nested_dissection.c:92-102).
     ks_all = np.arange(1, N)
     prev_lvl = levels[ks_all - 1]
-    neg_qinv_diag = -jnp.eye(n, dtype=dtype)[None] * qinv[1:, :, None]
-    Fstate = Fstate.at[prev_lvl, ks_all].set(neg_qinv_diag)
+    eye = jnp.eye(n, dtype=dtype).reshape((1, n, n) + (1,) * nb)
+    Fstate = Fstate.at[prev_lvl, ks_all].set(-eye * qcol[1:])
 
     # --- knot 0 (ref nested_dissection.c:24-58)
-    # Fy = -Cy = -A_0', Fx = 0, Fu = R_0^{-1} B_0'
-    Flambda = Flambda.at[0, 0].set(-jnp.swapaxes(prob.A[0], -1, -2))
-    Finput = Finput.at[0, 0].set(jnp.swapaxes(prob.B[0], -1, -2) * rinv[0, :, None])
-    # RHS: zy0_new = -Q_0 zy0 - zx0; zx0_new = -zy0; zu0 = R_0^{-1} zu0
+    Flambda = Flambda.at[0, 0].set(-At[0])
+    Finput = Finput.at[0, 0].set(Bt[0] * rcol[0])
     zy0 = zy[0]
     zy = zy.at[0].set(-prob.Qdiag[0] * zy0 - zx[0])
     zx = zx.at[0].set(-zy0)
@@ -163,80 +194,121 @@ def _sweep_level(
     Exposed separately so tests can compare per-level state against the golden
     intermediate factors in sample_problem.json (SURVEY.md §4 takeaway 1).
     """
+    nb = fact.nbatch
     depth = t.depth
     Flambda, Fstate, Finput, chol = fact.Flambda, fact.Fstate, fact.Finput, fact.chol
     idx = t.leaf_index[level]  # [numleaves] node indices, static
-    A_idx = prob.A[idx]  # [L, n, n]
-    B_idx = prob.B[idx]  # [L, n, m]
+    A_idx = prob.A[idx][None]  # [1, L, n, n, *b]
+    B_idx = prob.B[idx][None]  # [1, L, n, m, *b]
 
     # 1. Inner products for all fact levels u >= level at once
     #    (ref solve.c:71-83, nested_dissection.c:114-134).
-    F1x = Fstate[level:, idx]  # [U, L, n, n]
-    F1u = Finput[level:, idx]  # [U, L, m, n]
-    F2x = Fstate[level:, idx + 1]
-    S_old = Flambda[level:, idx + 1]
     S = (
-        jnp.einsum("lij,uljk->ulik", A_idx, F1x)
-        + jnp.einsum("lij,uljk->ulik", B_idx, F1u)
-        - F2x
-        - S_old
+        la.bgemm(A_idx, Fstate[level:, idx], nb)
+        + la.bgemm(B_idx, Finput[level:, idx], nb)
+        - Fstate[level:, idx + 1]
+        - Flambda[level:, idx + 1]
     )
     Flambda = Flambda.at[level:, idx + 1].set(S)
 
     # 2. Batched Cholesky of the separator Schur complements Sbar
     #    (ref solve.c:87-98).
-    Sbar = S[0]  # [L, n, n] == Flambda[level, idx+1]
-    Lc = jnp.linalg.cholesky(Sbar)
+    Lc = la.bcholesky(S[0], nb)  # [L, n, n, *b]
     chol = chol.at[idx].set(Lc)
 
     # 3. Sbar \ f for the upper-level lambda blocks (ref solve.c:103-116).
     if level + 1 < depth:
-        f = Flambda[level + 1 :, idx + 1]  # [U-1, L, n, n]
-        fsol = _cho_solve_bcast(Lc, f)
+        fsol = la.bcho_solve(Lc[None], Flambda[level + 1 :, idx + 1], nb)
         Flambda = Flambda.at[level + 1 :, idx + 1].set(fsol)
 
         # 4. Schur-complement updates for every knot (ref solve.c:119-131).
         sep = t.sep_index[:, level]  # [N] static
-        mask = t.calc_lambda[:, level]  # [N] static
-        fmat = Flambda[level + 1 :, sep + 1]  # [U-1, N, n, n]
-        upd_l = jnp.einsum("kij,ukjl->ukil", Flambda[level], fmat)
-        upd_x = jnp.einsum("kij,ukjl->ukil", Fstate[level], fmat)
-        upd_u = jnp.einsum("kij,ukjl->ukil", Finput[level], fmat)
-        mask_l = jnp.asarray(mask)[None, :, None, None]
-        Flambda = Flambda.at[level + 1 :].add(jnp.where(mask_l, -upd_l, 0))
+        fmat = Flambda[level + 1 :, sep + 1]  # [U-1, N, n, n, *b]
+        upd_l = la.bgemm(Flambda[level][None], fmat, nb)
+        upd_x = la.bgemm(Fstate[level][None], fmat, nb)
+        upd_u = la.bgemm(Finput[level][None], fmat, nb)
+        mask = t.calc_lambda[:, level].reshape((1, -1, 1, 1) + (1,) * nb)
+        Flambda = Flambda.at[level + 1 :].add(jnp.where(mask, -upd_l, 0))
         Fstate = Fstate.at[level + 1 :].add(-upd_x)
         Finput = Finput.at[level + 1 :].add(-upd_u)
 
-    return RsLqrFactorization(Flambda=Flambda, Fstate=Fstate, Finput=Finput, chol=chol)
+    return RsLqrFactorization(
+        Flambda=Flambda, Fstate=Fstate, Finput=Finput, chol=chol, nbatch=nb
+    )
 
 
-def factorize(
-    prob: LQRProblem, tables: Optional[TreeTables] = None
+def _factorize_bl(
+    prob: LQRProblem, t: TreeTables, nb: int
 ) -> Tuple[RsLqrFactorization, Tuple[jax.Array, jax.Array, jax.Array]]:
-    """Phases 1-2: leaf solves + the level sweep (ref solve.c:50-134).
-
-    Returns the factorization and the leaf-solved RHS ``(zy, zx, zu)``.
-    """
-    N = prob.nhorizon
-    t = tables or build_tree_tables(N)
-    n = prob.nstates
-
-    Flambda, Fstate, Finput, zy, zx, zu = _leaf_solve(prob, t.levels, t.depth)
+    """Phases 1-2 on batch-last problem arrays (ref solve.c:50-134)."""
+    N, n = prob.A.shape[0], prob.A.shape[1]
+    Flambda, Fstate, Finput, zy, zx, zu = _leaf_solve(prob, t.levels, t.depth, nb)
     fact = RsLqrFactorization(
         Flambda=Flambda,
         Fstate=Fstate,
         Finput=Finput,
-        chol=jnp.zeros((N - 1, n, n), prob.A.dtype),
+        chol=jnp.zeros((N - 1, n, n) + prob.A.shape[3:], prob.A.dtype),
+        nbatch=nb,
     )
     for level in range(t.depth):
         fact = _sweep_level(prob, t, level, fact)
     return fact, (zy, zx, zu)
 
 
-def _cho_solve_bcast(Lc: jax.Array, rhs: jax.Array) -> jax.Array:
-    """cho_solve with ``Lc [L, n, n]`` broadcast over leading axes of rhs."""
-    Lb = jnp.broadcast_to(Lc, rhs.shape[:-3] + Lc.shape)
-    return jax.scipy.linalg.cho_solve((Lb, True), rhs)
+def _solve_rhs_bl(
+    prob: LQRProblem,
+    fact: RsLqrFactorization,
+    rhs: Tuple[jax.Array, jax.Array, jax.Array],
+    t: TreeTables,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Phase 3 on batch-last arrays (ref solve.c:137-182)."""
+    nb = fact.nbatch
+    zy, zx, zu = rhs
+    for level in range(t.depth):
+        idx = t.leaf_index[level]
+        # Inner product against the RHS (ref solve.c:147, fact_level = 0):
+        znew = (
+            la.bgemv(prob.A[idx], zx[idx], nb)
+            + la.bgemv(prob.B[idx], zu[idx], nb)
+            - zx[idx + 1]
+            - zy[idx + 1]
+        )
+        # Separator solve with cached Cholesky (ref solve.c:153-170).
+        zbar = la.bcho_solve_vec(fact.chol[idx], znew, nb)
+        zy = zy.at[idx + 1].set(zbar)
+
+        # Propagate into the solution vector (ref solve.c:176-180):
+        # g_k -= F[level, k] @ zbar[sep_k + 1]   (lambda row masked)
+        sep = t.sep_index[:, level]
+        mask = t.calc_lambda[:, level].reshape((-1, 1) + (1,) * nb)
+        fvec = zy[sep + 1]  # [N, n, *b]
+        zy = zy - jnp.where(mask, la.bgemv(fact.Flambda[level], fvec, nb), 0)
+        zx = zx - la.bgemv(fact.Fstate[level], fvec, nb)
+        zu = zu - la.bgemv(fact.Finput[level], fvec, nb)
+    return zy, zx, zu
+
+
+def _num_batch_axes(prob: LQRProblem) -> int:
+    return prob.A.ndim - 3
+
+
+def _to_batch_last(prob: LQRProblem, nlead: int) -> LQRProblem:
+    return jax.tree.map(lambda x: _bl(x, nlead), prob)
+
+
+def factorize(
+    prob: LQRProblem, tables: Optional[TreeTables] = None
+) -> Tuple[RsLqrFactorization, Tuple[jax.Array, jax.Array, jax.Array]]:
+    """Leaf solves + level sweep (ref solve.c:50-134).
+
+    Accepts a single problem or a batch (leading batch axes on every array).
+    Returns the factorization and leaf-solved RHS, both in batch-LAST layout
+    (feed them straight to :func:`solve_rhs`).
+    """
+    nb = _num_batch_axes(prob)
+    pbl = _to_batch_last(prob, nb)
+    t = tables or build_tree_tables(pbl.A.shape[0])
+    return _factorize_bl(pbl, t, nb)
 
 
 def solve_rhs(
@@ -245,52 +317,49 @@ def solve_rhs(
     rhs: Tuple[jax.Array, jax.Array, jax.Array],
     tables: Optional[TreeTables] = None,
 ) -> RsLqrSolution:
-    """Phase 3: solve the (leaf-solved) RHS with the cached factorization.
+    """Solve a (leaf-solved, batch-last) RHS with a cached factorization.
 
     Ref solve.c:137-182. Exposing this separately from :func:`factorize`
-    enables the multi-RHS mode the reference only hints at (nddata.h:72-75).
+    enables the multi-RHS mode the reference only hints at (nddata.h:72-75):
+    re-solve after perturbing ``q``/``r``/``x0`` without re-factorizing.
     """
-    N = prob.nhorizon
-    t = tables or build_tree_tables(N)
-    zy, zx, zu = rhs
+    nb = fact.nbatch
+    pbl = _to_batch_last(prob, _num_batch_axes(prob))
+    t = tables or build_tree_tables(pbl.A.shape[0])
+    zy, zx, zu = _solve_rhs_bl(pbl, fact, rhs, t)
+    return RsLqrSolution(
+        Y=_bf(zy, nb), X=_bf(zx, nb), U=_bf(zu[:-1], nb), fact=fact
+    )
 
-    for level in range(t.depth):
-        idx = t.leaf_index[level]
-        # Inner product against the RHS (ref solve.c:147, fact_level = 0):
-        # zy[idx+1] <- A zx[idx] + B zu[idx] - zx[idx+1] - zy[idx+1]
-        znew = (
-            jnp.einsum("lij,lj->li", prob.A[idx], zx[idx])
-            + jnp.einsum("lij,lj->li", prob.B[idx], zu[idx])
-            - zx[idx + 1]
-            - zy[idx + 1]
-        )
-        # Separator solve with cached Cholesky (ref solve.c:153-170).
-        Lc = fact.chol[idx]
-        zbar = jax.scipy.linalg.cho_solve((Lc, True), znew[..., None])[..., 0]
-        zy = zy.at[idx + 1].set(zbar)
 
-        # Propagate into the solution vector (ref solve.c:176-180):
-        # g_k -= F[level, k] @ zbar[sep_k + 1]
-        sep = t.sep_index[:, level]
-        mask = jnp.asarray(t.calc_lambda[:, level])[:, None]
-        fvec = zy[sep + 1]  # [N, n]
-        zy = zy - jnp.where(mask, jnp.einsum("kij,kj->ki", fact.Flambda[level], fvec), 0)
-        zx = zx - jnp.einsum("kij,kj->ki", fact.Fstate[level], fvec)
-        zu = zu - jnp.einsum("kij,kj->ki", fact.Finput[level], fvec)
-
-    return RsLqrSolution(Y=zy, X=zx, U=zu[:-1], fact=fact)
+def leaf_solve_rhs(
+    prob: LQRProblem, tables: Optional[TreeTables] = None
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Leaf-solve just the RHS of ``prob`` (batch-last), for multi-RHS reuse."""
+    nb = _num_batch_axes(prob)
+    pbl = _to_batch_last(prob, nb)
+    t = tables or build_tree_tables(pbl.A.shape[0])
+    _, _, _, zy, zx, zu = _leaf_solve(pbl, t.levels, t.depth, nb)
+    return zy, zx, zu
 
 
 def solve(prob: LQRProblem, tables: Optional[TreeTables] = None) -> RsLqrSolution:
     """Full rsLQR solve (ref ndlqr_Solve, solve.c:38-190).
 
-    Pure and jittable; ``jax.vmap(solve)`` batches thousands of instances.
+    Accepts a single problem or a natively-batched one (leading batch axes).
+    Prefer passing the batch here over ``jax.vmap(solve)``: the internal
+    batch-last layout keeps the instance axis on the TPU lane dimension.
     """
-    t = tables or build_tree_tables(prob.nhorizon)
-    fact, rhs = factorize(prob, t)
-    return solve_rhs(prob, fact, rhs, t)
+    nb = _num_batch_axes(prob)
+    pbl = _to_batch_last(prob, nb)
+    t = tables or build_tree_tables(pbl.A.shape[0])
+    fact, rhs = _factorize_bl(pbl, t, nb)
+    zy, zx, zu = _solve_rhs_bl(pbl, fact, rhs, t)
+    return RsLqrSolution(
+        Y=_bf(zy, nb), X=_bf(zx, nb), U=_bf(zu[:-1], nb), fact=fact
+    )
 
 
 def solve_kkt(prob: LQRProblem) -> jax.Array:
-    """Convenience: solve and return the flat KKT vector."""
+    """Convenience: solve and return the flat KKT vector(s) ``[*b, nvars]``."""
     return solve(prob).kkt_vector()

@@ -187,3 +187,16 @@ def test_multi_rhs_reuse(prob8):
     out = rslqr.solve_rhs(prob2, fact, (zy, zx, zu), t)
     res = problem.kkt_residual(prob2, out.kkt_vector())
     assert float(res) < 1e-8
+
+
+def test_native_batch_matches_vmap(prob8):
+    """The batch-last native path must agree with per-instance solves."""
+    prob, _ = prob8
+    keys = jax.random.split(jax.random.PRNGKey(3), 5)
+    batch = problem.batch_problems(prob, keys)
+    native = rslqr.solve_kkt(batch)  # leading batch axis, internal batch-last
+    assert native.shape == (5, prob.nvars)
+    singles = jax.vmap(rslqr.solve_kkt)(batch)
+    np.testing.assert_allclose(
+        np.asarray(native), np.asarray(singles), atol=1e-9
+    )
