@@ -144,3 +144,77 @@ def bcho_solve_vec(L: jax.Array, b: jax.Array, nbatch: int = 1) -> jax.Array:
 def transpose_block(A: jax.Array, nbatch: int = 1) -> jax.Array:
     """Transpose the block dims of ``[..., p, q, *b]`` -> ``[..., q, p, *b]``."""
     return jnp.swapaxes(A, -(nbatch + 2), -(nbatch + 1))
+
+
+def bsolve(A: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
+    """Solve general square block systems ``A X = B`` in batch-last layout.
+
+    ``A``: [..., n, n, *b]; ``B``: [..., n, r, *b]. Unrolled Gauss-Jordan
+    elimination with partial pivoting over the tiny (static) block dim; the
+    pivot search unrolls into ``jnp.where`` chains so everything stays
+    elementwise over the batch lanes. Used for the non-symmetric
+    ``(I + C J)`` solves of the associative-scan Riccati combine.
+    """
+    n = A.shape[-(nbatch + 2)]
+
+    def row(M, i):  # [..., cols, *b]
+        idx = (Ellipsis, i, slice(None)) + (slice(None),) * nbatch
+        return M[idx]
+
+    # Work on row lists: each row is [..., n(+r), *b].
+    arows = [row(A, i) for i in range(n)]
+    brows = [row(B, i) for i in range(n)]
+
+    def elem(r, j):  # [..., *b]
+        idx = (Ellipsis, j) + (slice(None),) * nbatch
+        return r[idx]
+
+    for col in range(n):
+        # Partial pivot: among rows col..n-1 pick the largest |A[:, col]|.
+        piv_rows_a = [arows[i] for i in range(col, n)]
+        piv_rows_b = [brows[i] for i in range(col, n)]
+        best_a = piv_rows_a[0]
+        best_b = piv_rows_b[0]
+        best_mag = jnp.abs(elem(best_a, col))
+        for i in range(1, len(piv_rows_a)):
+            mag = jnp.abs(elem(piv_rows_a[i], col))
+            take = mag > best_mag
+            take_r = jnp.expand_dims(take, -(nbatch + 1))
+            best_a = jnp.where(take_r, piv_rows_a[i], best_a)
+            best_b = jnp.where(take_r, piv_rows_b[i], best_b)
+            best_mag = jnp.maximum(best_mag, mag)
+        # Swap the chosen pivot row into position `col`: every candidate row
+        # that equals the winner (by its col-entry magnitude) is replaced by
+        # the old row at `col` exactly once.
+        swapped = jnp.zeros(best_mag.shape, bool)
+        old_colrow_a, old_colrow_b = arows[col], brows[col]
+        for i in range(col, n):
+            is_best = (jnp.abs(elem(arows[i], col)) == best_mag) & (~swapped)
+            swapped = swapped | is_best
+            is_best_r = jnp.expand_dims(is_best, -(nbatch + 1))
+            arows[i] = jnp.where(is_best_r, old_colrow_a, arows[i])
+            brows[i] = jnp.where(is_best_r, old_colrow_b, brows[i])
+        arows[col], brows[col] = best_a, best_b
+
+        inv = 1.0 / elem(arows[col], col)
+        inv_r = jnp.expand_dims(inv, -(nbatch + 1))
+        arows[col] = arows[col] * inv_r
+        brows[col] = brows[col] * inv_r
+        for i in range(n):
+            if i == col:
+                continue
+            factor = jnp.expand_dims(elem(arows[i], col), -(nbatch + 1))
+            arows[i] = arows[i] - factor * arows[col]
+            brows[i] = brows[i] - factor * brows[col]
+
+    return jnp.stack(brows, axis=-(nbatch + 2))
+
+
+def bsolve_vec(A: jax.Array, b: jax.Array, nbatch: int = 1) -> jax.Array:
+    """Vector-RHS general solve: ``[..., n, n, *b] \\ [..., n, *b]``."""
+    return bsolve(A, jnp.expand_dims(b, -(nbatch + 1)), nbatch).squeeze(-(nbatch + 1))
+
+
+def beye(n: int, like: jax.Array, nbatch: int = 1) -> jax.Array:
+    """Identity block broadcastable against ``[..., n, n, *b]`` arrays."""
+    return jnp.eye(n, dtype=like.dtype).reshape((n, n) + (1,) * nbatch)

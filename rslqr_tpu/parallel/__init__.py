@@ -1,0 +1,7 @@
+"""Multi-chip parallelism: mesh construction and sharded solver entry points."""
+
+from .mesh import (
+    make_mesh,
+    shard_problem_batch,
+    solve_batch_sharded,
+)

@@ -1,0 +1,222 @@
+"""Parallel Riccati LQR solver via associative scans — O(log N) depth.
+
+A third solver family beyond the reference's two (rsLQR tree solve +
+serial Riccati): the backward Riccati recursion is re-expressed as an
+associative suffix scan over "conditional value function" elements, and the
+closed-loop forward rollout as an associative prefix scan over affine maps
+(temporal-parallelization approach of Särkkä & García-Fernández, IEEE TAC
+2021). This is the natively TPU-shaped answer to the problem the reference's
+nested-dissection tree solves with OpenMP level sweeps (docs/rslqr.dox:65-138):
+``lax.associative_scan`` gives the same log-depth parallelism with only
+``[N]``-element state (no ``[depth, N]`` factor grids), so far less HBM
+traffic per solve.
+
+Derivation sketch. Represent the optimal cost between fixed endpoints as
+
+  V_{k->l}(x_k, x_l) = sup_lam [ lam' x_l - lam' F x_k - lam' c
+                                 - 1/2 lam' C lam ] + 1/2 x_k' J x_k - eta' x_k
+
+(deterministic control: ``C = controllability-weighted reachability``,
+``F, c`` the free dynamics, ``J, eta`` the accumulated quadratic cost).
+One step with cost 1/2 x'Qx + q'x + 1/2 u'Ru + r'u and dynamics
+x+ = A x + B u + f minimizes over u to give the leaf element
+
+  F = A,  c = f - B R^{-1} r,  C = B R^{-1} B',  J = Q,  eta = -q,
+
+and minimizing over the shared midpoint x_m gives the associative combine
+
+  M1 = (I + C1 J2)^{-1},  M2 = (I + J2 C1)^{-1}
+  F = F2 M1 F1
+  c = F2 M1 (c1 + C1 eta2') + c2          with eta2' = -eta2... see code
+  C = F2 M1 C1 F2' + C2
+  eta = F1' M2 (eta2 - J2 c1) + eta1
+  J = F1' M2 J2 F1 + J1
+
+The terminal cost enters as the element (F=0, c=0, C=0, J=Q_N, eta=-q_N);
+a reverse (suffix) scan then yields every cost-to-go (P_k, p_k) =
+(J_k, -eta_k) simultaneously, gains follow vectorized over all knots, and a
+prefix scan over (Phi_k, d_k) = (A + B K, B d + f) recovers the trajectory.
+
+All element algebra runs in the same batch-last layout as
+:mod:`rslqr_tpu.rslqr` (instances on the TPU lane axis, tiny block dims
+unrolled — see :mod:`rslqr_tpu.linalg`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import linalg as la
+from .problem import LQRProblem, pack_solution
+from .riccati import RiccatiSolution
+
+
+def _combine(e1, e2, nb: int):
+    """Associative combine of conditional-value-function elements.
+
+    ``e = (F, c, C, eta, J)`` with shapes ``[..., n, n, *b]`` / ``[..., n, *b]``.
+    """
+    F1, c1, C1, eta1, J1 = e1
+    F2, c2, C2, eta2, J2 = e2
+    n = F1.shape[-(nb + 2)]
+    eye = la.beye(n, F1, nb)
+
+    # M1 = (I + C1 J2)^{-1} applied from the left.
+    IC = eye + la.bgemm(C1, J2, nb)
+    # Solve IC @ X = [F1 | c1 + C1 eta2] once.
+    rhs1 = jnp.concatenate(
+        [F1, jnp.expand_dims(c1 + la.bgemv(C1, eta2, nb), -(nb + 1)), C1],
+        axis=-(nb + 1),
+    )
+    sol1 = la.bsolve(IC, rhs1, nb)
+    MF1 = sol1[(Ellipsis, slice(0, n)) + (slice(None),) * nb]
+    Mc = sol1[(Ellipsis, n) + (slice(None),) * nb]
+    MC1 = sol1[(Ellipsis, slice(n + 1, 2 * n + 1)) + (slice(None),) * nb]
+
+    F = la.bgemm(F2, MF1, nb)
+    c = la.bgemv(F2, Mc, nb) + c2
+    C = la.bgemm(la.bgemm(F2, MC1, nb), la.transpose_block(F2, nb), nb) + C2
+
+    # M2 = (I + J2 C1)^{-1}: solve (I + J2 C1) X = [J2 F1 | eta2 - J2 c1].
+    JC = eye + la.bgemm(J2, C1, nb)
+    rhs2 = jnp.concatenate(
+        [la.bgemm(J2, F1, nb), jnp.expand_dims(eta2 - la.bgemv(J2, c1, nb), -(nb + 1))],
+        axis=-(nb + 1),
+    )
+    sol2 = la.bsolve(JC, rhs2, nb)
+    MJF = sol2[(Ellipsis, slice(0, n)) + (slice(None),) * nb]
+    Meta = sol2[(Ellipsis, n) + (slice(None),) * nb]
+
+    F1t = la.transpose_block(F1, nb)
+    J = la.bgemm(F1t, MJF, nb) + J1
+    eta = la.bgemv(F1t, Meta, nb) + eta1
+    return (F, c, C, eta, J)
+
+
+def _value_scan(prob_bl: LQRProblem, nb: int) -> Tuple[jax.Array, jax.Array]:
+    """Suffix-scan all cost-to-go pairs ``(P_k [N,n,n,*b], p_k [N,n,*b])``."""
+    A, B = prob_bl.A, prob_bl.B
+    N, n = A.shape[0], A.shape[1]
+    b_shape = A.shape[3:]
+    dtype = A.dtype
+
+    rinv = 1.0 / prob_bl.Rdiag  # [N, m, *b]
+    Brinv = B * jnp.expand_dims(rinv, -(nb + 2))  # B R^{-1}: scale columns
+    Bt = la.transpose_block(B, nb)
+
+    # Leaf elements for steps 0..N-2.
+    F = A[:-1]
+    c = prob_bl.f[:-1] - la.bgemv(Brinv[:-1], prob_bl.r[:-1], nb)
+    C = la.bgemm(Brinv[:-1], Bt[:-1], nb)
+    eta = -prob_bl.q[:-1]
+    Jq = jnp.zeros((N - 1, n, n) + b_shape, dtype)
+    diag = (jnp.arange(n), jnp.arange(n))
+    Jq = Jq.at[(slice(None),) + diag].set(prob_bl.Qdiag[:-1])
+
+    # Terminal element: pure cost, no propagation.
+    zF = jnp.zeros((1, n, n) + b_shape, dtype)
+    JN = jnp.zeros((1, n, n) + b_shape, dtype).at[(slice(None),) + diag].set(
+        prob_bl.Qdiag[-1:]
+    )
+    elems = (
+        jnp.concatenate([F, zF], axis=0),
+        jnp.concatenate([c, jnp.zeros((1, n) + b_shape, dtype)], axis=0),
+        jnp.concatenate([C, zF], axis=0),
+        jnp.concatenate([eta, -prob_bl.q[-1:]], axis=0),
+        jnp.concatenate([Jq, JN], axis=0),
+    )
+
+    # NB: with reverse=True, associative_scan calls fn(later, earlier); our
+    # combine is written (earlier, later), so swap the arguments.
+    suffix = jax.lax.associative_scan(
+        lambda a, b_: _combine(b_, a, nb), elems, reverse=True, axis=0
+    )
+    _, _, _, eta_all, J_all = suffix
+    P = J_all  # [N, n, n, *b]
+    p = -eta_all  # [N, n, *b]
+    return P, p
+
+
+def _gains(prob_bl: LQRProblem, P, p, nb: int):
+    """Vectorized gain computation from next-step cost-to-go (all k at once).
+
+    Same per-step algebra as the serial backward pass (riccati_solve.c:50-93)
+    but batched over the whole horizon since every P_{k+1} is already known.
+    """
+    A, B = prob_bl.A[:-1], prob_bl.B[:-1]
+    Pn, pn = P[1:], p[1:]
+    Bt = la.transpose_block(B, nb)
+    BtP = la.bgemm(Bt, Pn, nb)
+    Quu = la.bgemm(BtP, B, nb)
+    m = B.shape[-(nb + 1)]
+    diag = (jnp.arange(m), jnp.arange(m))
+    Quu = Quu.at[(slice(None),) + diag].add(prob_bl.Rdiag[:-1])
+    Qux = la.bgemm(BtP, A, nb)
+    Qu = prob_bl.r[:-1] + la.bgemv(Bt, la.bgemv(Pn, prob_bl.f[:-1], nb) + pn, nb)
+
+    Lc = la.bcholesky(Quu, nb)
+    K = -la.bcho_solve(Lc, Qux, nb)
+    d = -la.bcho_solve_vec(Lc, Qu, nb)
+    return K, d
+
+
+def _forward_scan(prob_bl: LQRProblem, K, d, nb: int):
+    """Prefix-scan the closed-loop rollout x_{k+1} = Phi_k x_k + t_k."""
+    A, B = prob_bl.A[:-1], prob_bl.B[:-1]
+    Phi = A + la.bgemm(B, K, nb)
+    tvec = la.bgemv(B, d, nb) + prob_bl.f[:-1]
+
+    def comb(e1, e2):
+        P1, t1 = e1
+        P2, t2 = e2
+        return la.bgemm(P2, P1, nb), la.bgemv(P2, t1, nb) + t2
+
+    Pfx, tfx = jax.lax.associative_scan(comb, (Phi, tvec), axis=0)
+    # x_{k+1} = Pfx[k] x0 + tfx[k]
+    x0 = prob_bl.x0
+    xs = la.bgemv(Pfx, x0[None], nb) + tfx  # [N-1, n, *b]
+    X = jnp.concatenate([x0[None], xs], axis=0)  # [N, n, *b]
+    return X
+
+
+def solve_pscan(prob: LQRProblem) -> RiccatiSolution:
+    """Full parallel-scan LQR solve; same outputs as :func:`solve_riccati`.
+
+    Accepts a single problem or a leading-batch problem pytree (like
+    :func:`rslqr_tpu.rslqr.solve`); batch axes are carried on the TPU lane
+    dimension internally.
+    """
+    nb = prob.A.ndim - 3
+
+    def bl(x):
+        if nb == 0:
+            return x
+        perm = tuple(range(nb, x.ndim)) + tuple(range(nb))
+        return jnp.transpose(x, perm)
+
+    def bf(x):
+        if nb == 0:
+            return x
+        nd = x.ndim
+        perm = tuple(range(nd - nb, nd)) + tuple(range(nd - nb))
+        return jnp.transpose(x, perm)
+
+    pbl = jax.tree.map(bl, prob)
+    P, p = _value_scan(pbl, nb)
+    K, d = _gains(pbl, P, p, nb)
+    X = _forward_scan(pbl, K, d, nb)
+    U = la.bgemv(K, X[:-1], nb) + d
+    Y = la.bgemv(P, X, nb) + p
+    return RiccatiSolution(
+        K=bf(K), d=bf(d), P=bf(P), p=bf(p), X=bf(X), U=bf(U), Y=bf(Y)
+    )
+
+
+def solve_pscan_kkt(prob: LQRProblem) -> jax.Array:
+    """Solve and return flat KKT vector(s) in the reference layout."""
+    sol = solve_pscan(prob)
+    return pack_solution(sol.Y, sol.X, sol.U)
