@@ -186,54 +186,107 @@ def _leaf_solve(prob: LQRProblem, levels: np.ndarray, depth: int, nb: int = 0):
     return Flambda, Fstate, Finput, zy, zx, zu
 
 
+def _group(x: jax.Array, span: int) -> jax.Array:
+    """Reshape the knot axis ``[N, ...] -> [N/span, span, ...]``.
+
+    The tree's power-of-two layout makes every index pattern of the level
+    sweep a fixed column of this grouping: the level-L separator of group
+    ``g`` is global knot ``g*2^(L+1) + (2^L - 1)`` (binary_tree.c:65-69), so
+    gathers/scatters become static slices — far cheaper under XLA than the
+    general gather the reference's pointer walk would translate to.
+    """
+    return x.reshape((x.shape[0] // span, span) + x.shape[1:])
+
+
+def _ungroup(x: jax.Array) -> jax.Array:
+    return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+
+
+def _lambda_mask(N: int, span: int, mid: int, nb: int) -> np.ndarray:
+    """calc_lambda (nested_dissection.c:173-177) as a static [G, span] pattern:
+    within each group the left-range start (position 0) and right-range start
+    (position mid) skip the lambda update, except global knot 0."""
+    G = N // span
+    mask = np.ones((G, span), dtype=bool)
+    mask[:, 0] = False
+    mask[:, mid] = False
+    mask[0, 0] = True  # knot 0 exemption
+    return mask.reshape((G, span, 1, 1) + (1,) * nb)
+
+
+def _sweep_level_core(prob, level: int, depth: int, Fls, Fxs, Fus, chols, nb: int):
+    """One level of the factorization sweep (body of the loop in solve.c:68-134),
+    operating on per-level factor lists ``F*s[u]`` of shape ``[N, r, n, *b]``.
+
+    Appends this level's separator Cholesky factors ``[G, n, n, *b]`` to
+    ``chols``. All knot-axis indexing is reshape+slice (see :func:`_group`).
+    """
+    N = prob.A.shape[0]
+    span = 1 << (level + 1)
+    mid = (1 << level) - 1  # separator position within a group; idx+1 is mid+1
+    A_g = _group(prob.A, span)[:, mid]  # [G, n, n, *b]
+    B_g = _group(prob.B, span)[:, mid]
+
+    # 1+2+3: inner products for every fact level u >= level, Cholesky at
+    #        u == level, triangular solves for u > level
+    #        (ref solve.c:71-116, nested_dissection.c:114-152).
+    Lc = None
+    fsols = {}
+    for u in range(level, depth):
+        gl = _group(Fls[u], span)
+        gx = _group(Fxs[u], span)
+        gu = _group(Fus[u], span)
+        S = (
+            la.bgemm(A_g, gx[:, mid], nb)
+            + la.bgemm(B_g, gu[:, mid], nb)
+            - gx[:, mid + 1]
+            - gl[:, mid + 1]
+        )
+        if u == level:
+            Lc = la.bcholesky(S, nb)
+            chols.append(Lc)
+            Snew = S
+        else:
+            Snew = la.bcho_solve(Lc, S, nb)
+            fsols[u] = Snew
+        Fls[u] = _ungroup(gl.at[:, mid + 1].set(Snew))
+
+    # 4. Schur-complement updates for every knot (ref solve.c:119-131):
+    #    F*[u] -= F*[level] @ f_u  with f_u broadcast over each group and the
+    #    lambda row masked by the static calc_lambda pattern.
+    if level + 1 < depth:
+        mask = _lambda_mask(N, span, mid + 1, nb)
+        FL_l = _group(Fls[level], span)
+        FL_x = _group(Fxs[level], span)
+        FL_u = _group(Fus[level], span)
+        for u in range(level + 1, depth):
+            f_u = fsols[u][:, None]  # [G, 1, n, n, *b] -> broadcast over span
+            upd_l = la.bgemm(FL_l, f_u, nb)
+            Fls[u] = _ungroup(_group(Fls[u], span) - jnp.where(mask, upd_l, 0))
+            Fxs[u] = _ungroup(_group(Fxs[u], span) - la.bgemm(FL_x, f_u, nb))
+            Fus[u] = _ungroup(_group(Fus[u], span) - la.bgemm(FL_u, f_u, nb))
+
+
 def _sweep_level(
     prob: LQRProblem, t: TreeTables, level: int, fact: RsLqrFactorization
 ) -> RsLqrFactorization:
-    """One level of the factorization sweep (body of the loop in solve.c:68-134).
-
-    Exposed separately so tests can compare per-level state against the golden
-    intermediate factors in sample_problem.json (SURVEY.md §4 takeaway 1).
-    """
+    """Stacked-grid wrapper of :func:`_sweep_level_core` (kept for tests that
+    compare per-level state against the golden intermediate factors in
+    sample_problem.json — SURVEY.md §4 takeaway 1)."""
     nb = fact.nbatch
-    depth = t.depth
-    Flambda, Fstate, Finput, chol = fact.Flambda, fact.Fstate, fact.Finput, fact.chol
-    idx = t.leaf_index[level]  # [numleaves] node indices, static
-    A_idx = prob.A[idx][None]  # [1, L, n, n, *b]
-    B_idx = prob.B[idx][None]  # [1, L, n, m, *b]
-
-    # 1. Inner products for all fact levels u >= level at once
-    #    (ref solve.c:71-83, nested_dissection.c:114-134).
-    S = (
-        la.bgemm(A_idx, Fstate[level:, idx], nb)
-        + la.bgemm(B_idx, Finput[level:, idx], nb)
-        - Fstate[level:, idx + 1]
-        - Flambda[level:, idx + 1]
-    )
-    Flambda = Flambda.at[level:, idx + 1].set(S)
-
-    # 2. Batched Cholesky of the separator Schur complements Sbar
-    #    (ref solve.c:87-98).
-    Lc = la.bcholesky(S[0], nb)  # [L, n, n, *b]
-    chol = chol.at[idx].set(Lc)
-
-    # 3. Sbar \ f for the upper-level lambda blocks (ref solve.c:103-116).
-    if level + 1 < depth:
-        fsol = la.bcho_solve(Lc[None], Flambda[level + 1 :, idx + 1], nb)
-        Flambda = Flambda.at[level + 1 :, idx + 1].set(fsol)
-
-        # 4. Schur-complement updates for every knot (ref solve.c:119-131).
-        sep = t.sep_index[:, level]  # [N] static
-        fmat = Flambda[level + 1 :, sep + 1]  # [U-1, N, n, n, *b]
-        upd_l = la.bgemm(Flambda[level][None], fmat, nb)
-        upd_x = la.bgemm(Fstate[level][None], fmat, nb)
-        upd_u = la.bgemm(Finput[level][None], fmat, nb)
-        mask = t.calc_lambda[:, level].reshape((1, -1, 1, 1) + (1,) * nb)
-        Flambda = Flambda.at[level + 1 :].add(jnp.where(mask, -upd_l, 0))
-        Fstate = Fstate.at[level + 1 :].add(-upd_x)
-        Finput = Finput.at[level + 1 :].add(-upd_u)
-
+    Fls = [fact.Flambda[u] for u in range(t.depth)]
+    Fxs = [fact.Fstate[u] for u in range(t.depth)]
+    Fus = [fact.Finput[u] for u in range(t.depth)]
+    chols: list = []
+    _sweep_level_core(prob, level, t.depth, Fls, Fxs, Fus, chols, nb)
+    idx = t.leaf_index[level]
+    chol = fact.chol.at[idx].set(chols[0])
     return RsLqrFactorization(
-        Flambda=Flambda, Fstate=Fstate, Finput=Finput, chol=chol, nbatch=nb
+        Flambda=jnp.stack(Fls),
+        Fstate=jnp.stack(Fxs),
+        Finput=jnp.stack(Fus),
+        chol=chol,
+        nbatch=nb,
     )
 
 
@@ -243,15 +296,22 @@ def _factorize_bl(
     """Phases 1-2 on batch-last problem arrays (ref solve.c:50-134)."""
     N, n = prob.A.shape[0], prob.A.shape[1]
     Flambda, Fstate, Finput, zy, zx, zu = _leaf_solve(prob, t.levels, t.depth, nb)
+    Fls = [Flambda[u] for u in range(t.depth)]
+    Fxs = [Fstate[u] for u in range(t.depth)]
+    Fus = [Finput[u] for u in range(t.depth)]
+    chols: list = []
+    for level in range(t.depth):
+        _sweep_level_core(prob, level, t.depth, Fls, Fxs, Fus, chols, nb)
+    chol = jnp.zeros((N - 1, n, n) + prob.A.shape[3:], prob.A.dtype)
+    for level in range(t.depth):
+        chol = chol.at[t.leaf_index[level]].set(chols[level])
     fact = RsLqrFactorization(
-        Flambda=Flambda,
-        Fstate=Fstate,
-        Finput=Finput,
-        chol=jnp.zeros((N - 1, n, n) + prob.A.shape[3:], prob.A.dtype),
+        Flambda=jnp.stack(Fls),
+        Fstate=jnp.stack(Fxs),
+        Finput=jnp.stack(Fus),
+        chol=chol,
         nbatch=nb,
     )
-    for level in range(t.depth):
-        fact = _sweep_level(prob, t, level, fact)
     return fact, (zy, zx, zu)
 
 
