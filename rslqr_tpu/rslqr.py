@@ -202,16 +202,16 @@ def _ungroup(x: jax.Array) -> jax.Array:
     return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
 
 
-def _lambda_mask(N: int, span: int, mid: int, nb: int) -> np.ndarray:
-    """calc_lambda (nested_dissection.c:173-177) as a static [G, span] pattern:
-    within each group the left-range start (position 0) and right-range start
-    (position mid) skip the lambda update, except global knot 0."""
+def _lambda_mask(N: int, span: int, mid: int) -> np.ndarray:
+    """calc_lambda (nested_dissection.c:173-177) as a static ``[G, span]``
+    pattern: within each group the left-range start (position 0) and
+    right-range start (position mid) skip the lambda update, except knot 0."""
     G = N // span
     mask = np.ones((G, span), dtype=bool)
     mask[:, 0] = False
     mask[:, mid] = False
     mask[0, 0] = True  # knot 0 exemption
-    return mask.reshape((G, span, 1, 1) + (1,) * nb)
+    return mask
 
 
 def _sweep_level_core(prob, level: int, depth: int, Fls, Fxs, Fus, chols, nb: int):
@@ -255,7 +255,9 @@ def _sweep_level_core(prob, level: int, depth: int, Fls, Fxs, Fus, chols, nb: in
     #    F*[u] -= F*[level] @ f_u  with f_u broadcast over each group and the
     #    lambda row masked by the static calc_lambda pattern.
     if level + 1 < depth:
-        mask = _lambda_mask(N, span, mid + 1, nb)
+        mask = _lambda_mask(N, span, mid + 1).reshape(
+            (N // span, span, 1, 1) + (1,) * nb
+        )
         FL_l = _group(Fls[level], span)
         FL_x = _group(Fxs[level], span)
         FL_u = _group(Fus[level], span)
@@ -315,6 +317,47 @@ def _factorize_bl(
     return fact, (zy, zx, zu)
 
 
+def _rhs_level_core(prob, level, Fl, Fx, Fu, Lc, zy, zx, zu, nb, knot0=True):
+    """One level of the RHS sweep (ref solve.c:137-182), reshape/slice form.
+
+    ``Lc`` is this level's stacked separator Cholesky ``[G, n, n, *b]``.
+    ``knot0`` is the (possibly traced) "first knot is global knot 0" flag
+    controlling the lambda-mask exemption — True single-device, ``d == 0``
+    under horizon sharding. Returns updated ``(zy, zx, zu)``.
+    """
+    span = 1 << (level + 1)
+    mid = (1 << level) - 1
+    N = zy.shape[0]
+    A_g = _group(prob.A, span)[:, mid]
+    B_g = _group(prob.B, span)[:, mid]
+    gy, gx, gu = _group(zy, span), _group(zx, span), _group(zu, span)
+
+    # Inner product against the RHS (ref solve.c:147, fact_level = 0) and
+    # separator solve with the cached Cholesky (ref solve.c:153-170).
+    znew = (
+        la.bgemv(A_g, gx[:, mid], nb)
+        + la.bgemv(B_g, gu[:, mid], nb)
+        - gx[:, mid + 1]
+        - gy[:, mid + 1]
+    )
+    zbar = la.bcho_solve_vec(Lc, znew, nb)
+    zy = _ungroup(gy.at[:, mid + 1].set(zbar))
+
+    # Propagate into the solution vector (ref solve.c:176-180):
+    # g_k -= F[level, k] @ zbar[group(k)]   (lambda row masked)
+    fvec = zbar[:, None]  # [G, 1, n, *b] broadcast over the group span
+    base = np.ones((N // span, span), dtype=bool)
+    base[:, 0] = False
+    base[:, mid + 1] = False
+    mask = jnp.asarray(base).at[0, 0].set(knot0)
+    mask = mask.reshape((N // span, span, 1) + (1,) * nb)
+    zy = _ungroup(_group(zy, span) - jnp.where(
+        mask, la.bgemv(_group(Fl, span), fvec, nb), 0))
+    zx = _ungroup(_group(zx, span) - la.bgemv(_group(Fx, span), fvec, nb))
+    zu = _ungroup(_group(zu, span) - la.bgemv(_group(Fu, span), fvec, nb))
+    return zy, zx, zu
+
+
 def _solve_rhs_bl(
     prob: LQRProblem,
     fact: RsLqrFactorization,
@@ -325,26 +368,11 @@ def _solve_rhs_bl(
     nb = fact.nbatch
     zy, zx, zu = rhs
     for level in range(t.depth):
-        idx = t.leaf_index[level]
-        # Inner product against the RHS (ref solve.c:147, fact_level = 0):
-        znew = (
-            la.bgemv(prob.A[idx], zx[idx], nb)
-            + la.bgemv(prob.B[idx], zu[idx], nb)
-            - zx[idx + 1]
-            - zy[idx + 1]
+        Lc = fact.chol[t.leaf_index[level]]
+        zy, zx, zu = _rhs_level_core(
+            prob, level, fact.Flambda[level], fact.Fstate[level],
+            fact.Finput[level], Lc, zy, zx, zu, nb,
         )
-        # Separator solve with cached Cholesky (ref solve.c:153-170).
-        zbar = la.bcho_solve_vec(fact.chol[idx], znew, nb)
-        zy = zy.at[idx + 1].set(zbar)
-
-        # Propagate into the solution vector (ref solve.c:176-180):
-        # g_k -= F[level, k] @ zbar[sep_k + 1]   (lambda row masked)
-        sep = t.sep_index[:, level]
-        mask = t.calc_lambda[:, level].reshape((-1, 1) + (1,) * nb)
-        fvec = zy[sep + 1]  # [N, n, *b]
-        zy = zy - jnp.where(mask, la.bgemv(fact.Flambda[level], fvec, nb), 0)
-        zx = zx - la.bgemv(fact.Fstate[level], fvec, nb)
-        zu = zu - la.bgemv(fact.Finput[level], fvec, nb)
     return zy, zx, zu
 
 
