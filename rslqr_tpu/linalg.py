@@ -25,14 +25,25 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+# Block-dim threshold between the two lowering strategies: at or below it,
+# tiny-block ops unroll into elementwise lane-vector math (VPU); above it,
+# blocks are big enough to matmul on the MXU via dot_general with the batch
+# as a dot batch dimension (e.g. the quadruped-scale nx=36 config, where
+# unrolling 36^3 scalar ops would explode the program).
+MXU_BLOCK_THRESHOLD = 8
+
 
 def bgemm(A: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
     """Batched block matmul: ``[..., p, q, *b] @ [..., q, r, *b] -> [..., p, r, *b]``.
 
     ``nbatch`` is the number of trailing batch axes (0 for single problem).
-    Lowered as broadcast-multiply-reduce over the tiny contraction axis so the
-    batch stays in the lane dimension; XLA fuses the whole thing.
+    Small blocks lower as broadcast-multiply-reduce over the tiny contraction
+    axis so the batch stays in the lane dimension; large blocks go to
+    ``dot_general`` (MXU) with the batch axes as dot batch dims.
     """
+    q = A.shape[-(nbatch + 1)]
+    if q > MXU_BLOCK_THRESHOLD:
+        return _bgemm_mxu(A, B, nbatch)
     # A: [..., p, q, *b] -> [..., p, q, 1, *b]
     # B: [..., q, r, *b] -> [..., 1, q, r, *b]
     q_axis = -(nbatch + 1)  # the contraction axis position after expansion
@@ -41,21 +52,76 @@ def bgemm(A: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
     return jnp.sum(Ae * Be, axis=-(nbatch + 2))
 
 
+def _bgemm_mxu(A: jax.Array, B: jax.Array, nbatch: int) -> jax.Array:
+    """Large-block path: contraction on the MXU via dot_general.
+
+    Leading grid dims and trailing batch dims both become dot batch
+    dimensions (broadcast first if needed); XLA picks MXU-friendly layouts.
+    """
+    # Broadcast leading grid dims against each other.
+    lead = jnp.broadcast_shapes(A.shape[: A.ndim - 2 - nbatch], B.shape[: B.ndim - 2 - nbatch])
+    bshape = A.shape[A.ndim - nbatch:]
+    A = jnp.broadcast_to(A, lead + A.shape[A.ndim - 2 - nbatch:])
+    B = jnp.broadcast_to(B, lead + B.shape[B.ndim - 2 - nbatch:])
+    nl = len(lead)
+    # A: [*lead, p, q, *b]; B: [*lead, q, r, *b]
+    batch_a = tuple(range(nl)) + tuple(range(A.ndim - nbatch, A.ndim))
+    batch_b = tuple(range(nl)) + tuple(range(B.ndim - nbatch, B.ndim))
+    contract_a = (nl + 1,)
+    contract_b = (nl,)
+    out = jax.lax.dot_general(
+        A, B, ((contract_a, contract_b), (batch_a, batch_b)),
+        preferred_element_type=A.dtype,
+    )
+    # dot_general output: [*lead, *b, p, r] -> [*lead, p, r, *b]
+    perm = (
+        tuple(range(nl))
+        + (out.ndim - 2, out.ndim - 1)
+        + tuple(range(nl, nl + nbatch))
+    )
+    return jnp.transpose(out, perm)
+
+
 def bgemv(A: jax.Array, x: jax.Array, nbatch: int = 1) -> jax.Array:
     """Batched block mat-vec: ``[..., p, q, *b] @ [..., q, *b] -> [..., p, *b]``."""
     xe = jnp.expand_dims(x, -(nbatch + 2))  # [..., 1, q, *b]
     return jnp.sum(A * xe, axis=-(nbatch + 1))
 
 
+def _to_mat_last(A: jax.Array, nbatch: int) -> jax.Array:
+    """[..., p, q, *b] -> [..., *b, p, q] for lax.linalg batched ops."""
+    nd = A.ndim
+    perm = (
+        tuple(range(nd - nbatch - 2))
+        + tuple(range(nd - nbatch, nd))
+        + (nd - nbatch - 2, nd - nbatch - 1)
+    )
+    return jnp.transpose(A, perm)
+
+
+def _from_mat_last(A: jax.Array, nbatch: int) -> jax.Array:
+    """Inverse of :func:`_to_mat_last`."""
+    nd = A.ndim
+    perm = (
+        tuple(range(nd - nbatch - 2))
+        + (nd - 2, nd - 1)
+        + tuple(range(nd - nbatch - 2, nd - 2))
+    )
+    return jnp.transpose(A, perm)
+
+
 def bcholesky(A: jax.Array, nbatch: int = 1) -> jax.Array:
     """Batched Cholesky of SPD blocks ``[..., n, n, *b]`` -> lower ``L``.
 
-    Unrolled Cholesky–Banachiewicz over the (static, tiny) block dim: every
-    operation is an elementwise op on ``[..., *b]`` vectors. The reference's
-    unblocked right-looking factorization (linalg_custom.c:88-111) plays the
-    same role for its scalar backend.
+    Small blocks: unrolled Cholesky–Banachiewicz over the (static, tiny)
+    block dim — every operation an elementwise op on ``[..., *b]`` lane
+    vectors (the reference's unblocked factorization, linalg_custom.c:88-111,
+    plays the same role for its scalar backend). Large blocks: XLA's batched
+    Cholesky with the block dims moved last.
     """
     n = A.shape[-(nbatch + 2)]
+    if n > MXU_BLOCK_THRESHOLD:
+        return _from_mat_last(jnp.linalg.cholesky(_to_mat_last(A, nbatch)), nbatch)
 
     def at(M, i, j):
         idx = (Ellipsis, i, j) + (slice(None),) * nbatch
@@ -87,9 +153,15 @@ def btrsm_lower(L: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
 
     ``L``: [..., n, n, *b]; ``B``: [..., n, r, *b] -> X same shape as B.
     Counterpart of ``clap_LowerTriBackSub`` forward mode
-    (linalg_custom.c:113-132).
+    (linalg_custom.c:113-132). Large blocks use XLA's triangular_solve.
     """
     n = L.shape[-(nbatch + 2)]
+    if n > MXU_BLOCK_THRESHOLD:
+        Lm, Bm = _bcast_mat_last(L, B, nbatch)
+        X = jax.lax.linalg.triangular_solve(
+            Lm, Bm, left_side=True, lower=True, transpose_a=False
+        )
+        return _from_mat_last(X, nbatch)
 
     def at(M, i, j):
         idx = (Ellipsis, i, j) + (slice(None),) * nbatch
@@ -111,6 +183,12 @@ def btrsm_lower(L: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
 def btrsm_lower_t(L: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
     """Solve ``L' X = B`` (transposed lower = upper), unrolled back-substitution."""
     n = L.shape[-(nbatch + 2)]
+    if n > MXU_BLOCK_THRESHOLD:
+        Lm, Bm = _bcast_mat_last(L, B, nbatch)
+        X = jax.lax.linalg.triangular_solve(
+            Lm, Bm, left_side=True, lower=True, transpose_a=True
+        )
+        return _from_mat_last(X, nbatch)
 
     def at(M, i, j):
         idx = (Ellipsis, i, j) + (slice(None),) * nbatch
@@ -128,6 +206,16 @@ def btrsm_lower_t(L: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
             s = s - jnp.expand_dims(at(L, k, i), -(nbatch + 1)) * xs[k]
         xs[i] = s / jnp.expand_dims(at(L, i, i), -(nbatch + 1))
     return jnp.stack(xs, axis=-(nbatch + 2))
+
+
+def _bcast_mat_last(L: jax.Array, B: jax.Array, nbatch: int):
+    """Broadcast leading grid dims of L against B; both to mat-last layout."""
+    lead = jnp.broadcast_shapes(
+        L.shape[: L.ndim - 2 - nbatch], B.shape[: B.ndim - 2 - nbatch]
+    )
+    L = jnp.broadcast_to(L, lead + L.shape[L.ndim - 2 - nbatch:])
+    B = jnp.broadcast_to(B, lead + B.shape[B.ndim - 2 - nbatch:])
+    return _to_mat_last(L, nbatch), _to_mat_last(B, nbatch)
 
 
 def bcho_solve(L: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
@@ -153,9 +241,13 @@ def bsolve(A: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
     elimination with partial pivoting over the tiny (static) block dim; the
     pivot search unrolls into ``jnp.where`` chains so everything stays
     elementwise over the batch lanes. Used for the non-symmetric
-    ``(I + C J)`` solves of the associative-scan Riccati combine.
+    ``(I + C J)`` solves of the associative-scan Riccati combine. Large
+    blocks use XLA's batched LU solve instead.
     """
     n = A.shape[-(nbatch + 2)]
+    if n > MXU_BLOCK_THRESHOLD:
+        Am, Bm = _bcast_mat_last(A, B, nbatch)
+        return _from_mat_last(jnp.linalg.solve(Am, Bm), nbatch)
 
     def row(M, i):  # [..., cols, *b]
         idx = (Ellipsis, i, slice(None)) + (slice(None),) * nbatch

@@ -1,0 +1,92 @@
+"""Batched block linear algebra tests (the reference's linalg_custom_test.c
+role), covering both the small-block unrolled path and the large-block MXU
+path across the dispatch threshold."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rslqr_tpu import linalg as la
+
+
+def _rand(key, shape):
+    return jax.random.normal(key, shape, jnp.float64)
+
+
+@pytest.mark.parametrize("n", [3, 6, 12, 36])
+@pytest.mark.parametrize("nbatch", [0, 1])
+def test_bgemm(n, nbatch):
+    key = jax.random.PRNGKey(n)
+    b = (5,) * nbatch
+    A = _rand(key, (4, n, n) + b)
+    B = _rand(jax.random.fold_in(key, 1), (4, n, n - 1) + b)
+    out = la.bgemm(A, B, nbatch)
+    ref = np.einsum("gij...,gjk...->gik...", np.asarray(A), np.asarray(B))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-10)
+
+
+@pytest.mark.parametrize("n", [2, 6, 36])
+def test_bgemm_broadcast_leading(n):
+    key = jax.random.PRNGKey(n)
+    A = _rand(key, (1, 4, n, n, 3))
+    B = _rand(jax.random.fold_in(key, 1), (2, 4, n, n, 3))
+    out = la.bgemm(A, B, 1)
+    assert out.shape == (2, 4, n, n, 3)
+    ref = np.einsum("ugijb,ugjkb->ugikb", np.broadcast_to(np.asarray(A), (2, 4, n, n, 3)), np.asarray(B))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-10)
+
+
+@pytest.mark.parametrize("n", [2, 6, 36])
+@pytest.mark.parametrize("nbatch", [0, 1])
+def test_bcholesky_and_solve(n, nbatch):
+    key = jax.random.PRNGKey(n + 100)
+    b = (4,) * nbatch
+    M = _rand(key, (3, n, n) + b)
+    # SPD: A = M M' + n I, built in mat-first layout per slice
+    A = la.bgemm(M, la.transpose_block(M, nbatch), nbatch)
+    eye = jnp.eye(n).reshape((1, n, n) + (1,) * nbatch)
+    A = A + n * eye
+    L = la.bcholesky(A, nbatch)
+    # L L' == A
+    rec = la.bgemm(L, la.transpose_block(L, nbatch), nbatch)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(A), atol=1e-8)
+    # cho_solve round trip
+    X = _rand(jax.random.fold_in(key, 2), (3, n, 2) + b)
+    B = la.bgemm(A, X, nbatch)
+    Xs = la.bcho_solve(L, B, nbatch)
+    np.testing.assert_allclose(np.asarray(Xs), np.asarray(X), atol=1e-8)
+
+
+@pytest.mark.parametrize("n", [2, 6, 36])
+@pytest.mark.parametrize("nbatch", [0, 1])
+def test_bsolve_general(n, nbatch):
+    key = jax.random.PRNGKey(n + 200)
+    b = (4,) * nbatch
+    A = _rand(key, (3, n, n) + b) + 2 * n * jnp.eye(n).reshape(
+        (1, n, n) + (1,) * nbatch
+    )
+    X = _rand(jax.random.fold_in(key, 1), (3, n, 2) + b)
+    B = la.bgemm(A, X, nbatch)
+    Xs = la.bsolve(A, B, nbatch)
+    np.testing.assert_allclose(np.asarray(Xs), np.asarray(X), atol=1e-8)
+
+
+def test_bsolve_needs_pivoting():
+    # Zero in the (0,0) position forces a row swap in the small-block path.
+    A = jnp.array([[0.0, 1.0], [1.0, 0.0]])[..., None]
+    X = jnp.array([[2.0], [3.0]])[..., None]
+    B = la.bgemm(A, X, 1)
+    Xs = la.bsolve(A, B, 1)
+    np.testing.assert_allclose(np.asarray(Xs), np.asarray(X), atol=1e-12)
+
+
+@pytest.mark.parametrize("nbatch", [0, 1])
+def test_bgemv(nbatch):
+    key = jax.random.PRNGKey(9)
+    b = (7,) * nbatch
+    A = _rand(key, (3, 4, 5) + b)
+    x = _rand(jax.random.fold_in(key, 1), (3, 5) + b)
+    out = la.bgemv(A, x, nbatch)
+    ref = np.einsum("gij...,gj...->gi...", np.asarray(A), np.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-10)

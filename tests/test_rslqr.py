@@ -200,3 +200,12 @@ def test_native_batch_matches_vmap(prob8):
     np.testing.assert_allclose(
         np.asarray(native), np.asarray(singles), atol=1e-9
     )
+
+
+def test_quadruped_scale_config():
+    """Large-block config (BASELINE.md: nx=36, nu=12, N=512 class) exercises
+    the MXU dispatch path in linalg; checked via KKT residual at N=32."""
+    prob = problem.random_problem(jax.random.PRNGKey(11), 32, 36, 12, jnp.float64)
+    out = rslqr.solve_kkt(prob)
+    res = problem.kkt_residual(prob, out)
+    assert float(res) < 1e-6, f"residual {res}"
