@@ -25,6 +25,17 @@ from .io import (
     write_lqr_problem_json,
 )
 from .riccati import RiccatiSolution, backward_pass, forward_pass, solve_riccati
+from .rslqr import (
+    RsLqrFactorization,
+    RsLqrSolution,
+    factorize,
+    leaf_solve_rhs,
+    solve,
+    solve_kkt,
+    solve_rhs,
+)
+from .pscan import solve_pscan, solve_pscan_kkt
+from .profile import SolveProfile, print_solve_summary, profile_solve
 from .tree import TreeTables, build_tree_tables
 
 __version__ = "0.1.0"
