@@ -35,6 +35,7 @@ from .rslqr import (
     solve_rhs,
 )
 from .pscan import solve_pscan, solve_pscan_kkt
+from .refine import kkt_apply, kkt_rhs, solve_refined
 from .profile import SolveProfile, print_solve_summary, profile_solve
 from .tree import TreeTables, build_tree_tables
 

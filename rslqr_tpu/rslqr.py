@@ -156,10 +156,7 @@ def _leaf_solve(prob: LQRProblem, levels: np.ndarray, depth: int, nb: int = 0):
     zy = jnp.concatenate([-prob.x0[None], -prob.f[:-1]], axis=0)  # [N, n, *b]
     zx = -prob.q
     zu = -prob.r
-
-    # --- knots 1..N-1 common terms (ref nested_dissection.c:60-103)
-    zx = zx.at[1:].mul(qinv[1:])
-    zu = zu.at[1:-1].mul(rinv[1:-1])
+    zy, zx, zu = _leaf_rhs_transform(prob, (zy, zx, zu), nb)
 
     # F[level(k), k] <- {Q_k^{-1} A_k', R_k^{-1} B_k'} for 1 <= k < N-1
     # (ref nested_dissection.c:81-86), scattered via the static level table.
@@ -175,15 +172,31 @@ def _leaf_solve(prob: LQRProblem, levels: np.ndarray, depth: int, nb: int = 0):
     eye = jnp.eye(n, dtype=dtype).reshape((1, n, n) + (1,) * nb)
     Fstate = Fstate.at[prev_lvl, ks_all].set(-eye * qcol[1:])
 
-    # --- knot 0 (ref nested_dissection.c:24-58)
+    # --- knot 0 factor blocks (ref nested_dissection.c:24-58)
     Flambda = Flambda.at[0, 0].set(-At[0])
     Finput = Finput.at[0, 0].set(Bt[0] * rcol[0])
-    zy0 = zy[0]
-    zy = zy.at[0].set(-prob.Qdiag[0] * zy0 - zx[0])
-    zx = zx.at[0].set(-zy0)
-    zu = zu.at[0].mul(rinv[0])
 
     return Flambda, Fstate, Finput, zy, zx, zu
+
+
+def _leaf_rhs_transform(prob: LQRProblem, rhs, nb: int = 0):
+    """Leaf-solve an arbitrary RHS vector given in (zy, zx, zu) block form.
+
+    The z-vector half of ndlqr_SolveLeaf (nested_dissection.c:42-58, 79-90):
+    a linear map independent of the factor grids, so it also serves fresh
+    right-hand sides (multi-RHS mode, iterative refinement):
+
+      k = 0:   zy' = -Q0 zy - zx;  zx' = -zy;  zu' = R0^{-1} zu
+      k >= 1:  zx' = Qk^{-1} zx;   zu' = Rk^{-1} zu (k < N-1);  zy' = zy
+    """
+    zy, zx, zu = rhs
+    qinv = 1.0 / prob.Qdiag
+    rinv = 1.0 / prob.Rdiag
+    zy0 = zy[0]
+    zy = zy.at[0].set(-prob.Qdiag[0] * zy0 - zx[0])
+    zx = jnp.concatenate([-zy0[None], zx[1:] * qinv[1:]], axis=0)
+    zu = jnp.concatenate([zu[:1] * rinv[:1], zu[1:-1] * rinv[1:-1], zu[-1:]], axis=0)
+    return zy, zx, zu
 
 
 def _group(x: jax.Array, span: int) -> jax.Array:
@@ -426,9 +439,8 @@ def leaf_solve_rhs(
     """Leaf-solve just the RHS of ``prob`` (batch-last), for multi-RHS reuse."""
     nb = _num_batch_axes(prob)
     pbl = _to_batch_last(prob, nb)
-    t = tables or build_tree_tables(pbl.A.shape[0])
-    _, _, _, zy, zx, zu = _leaf_solve(pbl, t.levels, t.depth, nb)
-    return zy, zx, zu
+    zy = jnp.concatenate([-pbl.x0[None], -pbl.f[:-1]], axis=0)
+    return _leaf_rhs_transform(pbl, (zy, -pbl.q, -pbl.r), nb)
 
 
 def solve(prob: LQRProblem, tables: Optional[TreeTables] = None) -> RsLqrSolution:
