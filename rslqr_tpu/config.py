@@ -1,0 +1,60 @@
+"""Runtime configuration — the reference's CMake-option tier, env-driven.
+
+The reference configures through three tiers (SURVEY §5.6): CMake cache
+options (linalg backend, test knobs), compile-time defines, and the runtime
+thread count. Here everything is runtime: environment variables read once at
+import (overridable programmatically), because under jit the equivalents of
+"compile-time" choices are trace-time Python values.
+
+| Env var | Default | Meaning |
+|---|---|---|
+| RSLQR_TPU_MXU_THRESHOLD | 8  | block size above which linalg uses MXU lowerings |
+| RSLQR_TPU_MATMUL_PRECISION | highest | jax matmul precision for f32 solves |
+| RSLQR_TPU_REFINE_ITERS | 2  | default iterative-refinement steps |
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+
+@dataclasses.dataclass
+class Config:
+    mxu_block_threshold: int = int(os.environ.get("RSLQR_TPU_MXU_THRESHOLD", "8"))
+    matmul_precision: str = os.environ.get("RSLQR_TPU_MATMUL_PRECISION", "highest")
+    refine_iterations: int = int(os.environ.get("RSLQR_TPU_REFINE_ITERS", "2"))
+
+
+config = Config()
+
+
+def set_mxu_block_threshold(n: int) -> None:
+    """Adjust the small-block/MXU dispatch point (see linalg.py)."""
+    from . import linalg
+
+    config.mxu_block_threshold = n
+    linalg.MXU_BLOCK_THRESHOLD = n
+
+
+def apply_matmul_precision() -> None:
+    """Pin jax's matmul precision to the configured value.
+
+    TPU's default bf16 matmul passes cost ~1e-2 relative error on these
+    problems; production f32 solves should run with "highest".
+    """
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", config.matmul_precision)
+
+
+def linear_algebra_backend() -> str:
+    """Report the active linear-algebra backend (ref linalg.c:223-256,
+    MatrixGetLinearAlgebraLibrary / MatrixPrintLinearAlgebraLibrary)."""
+    import jax
+
+    return (
+        f"jax/XLA on {jax.default_backend()} "
+        f"(small blocks: unrolled lane kernels <= {config.mxu_block_threshold}, "
+        f"large blocks: MXU dot_general + lax.linalg)"
+    )

@@ -234,6 +234,13 @@ def transpose_block(A: jax.Array, nbatch: int = 1) -> jax.Array:
     return jnp.swapaxes(A, -(nbatch + 2), -(nbatch + 1))
 
 
+def normed_difference(A, B) -> jax.Array:
+    """Frobenius norm of ``A - B`` (ref MatrixNormedDifference,
+    matrix.c:109-123) — the comparison primitive of the reference tests."""
+    d = jnp.asarray(A) - jnp.asarray(B)
+    return jnp.sqrt(jnp.sum(d * d))
+
+
 def bsolve(A: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
     """Solve general square block systems ``A X = B`` in batch-last layout.
 
