@@ -66,12 +66,17 @@ def main():
     nhorizon = int(os.environ.get("BENCH_HORIZON", "256"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
     which = os.environ.get("BENCH_SOLVER", "both")
-
-    path = "/root/reference/lqr_prob_256.json"
-    if nhorizon == 256 and os.path.exists(path):
-        prob, _ = rt.read_lqr_problem_json(path, dtype=jnp.float32)
+    if os.environ.get("BENCH_CONFIG") == "quadruped":
+        # BASELINE.md config: nx=36, nu=12, N=512, 256 scenarios.
+        batch_size = int(os.environ.get("BENCH_BATCH", "256"))
+        nhorizon = 512
+        prob = rt.random_problem(jax.random.PRNGKey(1), nhorizon, 36, 12, jnp.float32)
     else:
-        prob = rt.double_integrator_problem(nhorizon, dtype=jnp.float32)
+        path = "/root/reference/lqr_prob_256.json"
+        if nhorizon == 256 and os.path.exists(path):
+            prob, _ = rt.read_lqr_problem_json(path, dtype=jnp.float32)
+        else:
+            prob = rt.double_integrator_problem(nhorizon, dtype=jnp.float32)
 
     keys = jax.random.split(jax.random.PRNGKey(0), batch_size)
     batch = rt.batch_problems(prob, keys)

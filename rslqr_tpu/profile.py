@@ -133,6 +133,54 @@ def _sweep_all(pbl, fact, t):
     return fact
 
 
+def linalg_flop_estimate(nstates: int, ninputs: int, nhorizon: int) -> dict:
+    """Analytic FLOP/byte accounting of one rsLQR solve.
+
+    The analogue of the reference's linalg time accumulator
+    (MATRIX_LATIME_ENABLE, linalg_utils.h:4-12): under jit individual linalg
+    calls can't be clocked, so the solve summary reports the *model* instead —
+    per-stage FLOPs and minimum HBM traffic — which combined with the
+    measured wall time yields achieved intensity.
+    """
+    n, m, N = nstates, ninputs, nhorizon
+    depth = (N - 1).bit_length()
+    gemm_nn = 2 * n * n * n
+    gemm_mn = 2 * m * n * n
+    chol = n**3 // 3
+    trsm_nn = 2 * n * n * n
+
+    leaves = N * (2 * n * n + 2 * m * n)  # diagonal scalings
+    products = sum(
+        (1 << (depth - L - 1)) * (depth - L) * (gemm_nn + gemm_mn)
+        for L in range(depth)
+    )
+    cholesky = (N - 1) * chol
+    cholsolve = sum(
+        (1 << (depth - L - 1)) * (depth - L - 1) * trsm_nn for L in range(depth)
+    )
+    shur = sum(
+        N * (depth - L - 1) * (2 * gemm_nn + gemm_mn) for L in range(depth)
+    )
+    rhs = N * depth * (4 * n * n + 2 * m * n)
+    total = leaves + products + cholesky + cholsolve + shur + rhs
+    # Minimum slab traffic (read+write of the touched factor slabs per level).
+    slab = N * (2 * n * n + m * n)
+    bytes_min = 4 * sum(
+        3 * slab * (depth - L) for L in range(depth)
+    )
+    return {
+        "flops_leaves": leaves,
+        "flops_products": products,
+        "flops_cholesky": cholesky,
+        "flops_cholsolve": cholsolve,
+        "flops_shur": shur,
+        "flops_rhs": rhs,
+        "flops_total": total,
+        "hbm_bytes_min_f32": bytes_min,
+        "arithmetic_intensity": total / bytes_min,
+    }
+
+
 def print_solve_summary(
     solve_time_ms: float,
     num_devices: Optional[int] = None,

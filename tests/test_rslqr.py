@@ -209,3 +209,24 @@ def test_quadruped_scale_config():
     out = rslqr.solve_kkt(prob)
     res = problem.kkt_residual(prob, out)
     assert float(res) < 1e-6, f"residual {res}"
+
+
+def test_solver_is_differentiable(prob8):
+    """Beyond-reference capability: gradients flow through the solve
+    (enables learning-based MPC; everything is pure XLA)."""
+    prob, _ = prob8
+
+    def loss(q):
+        import dataclasses
+        p = dataclasses.replace(prob, q=q)
+        sol = rslqr.solve(p)
+        return jnp.sum(sol.U ** 2)
+
+    g = jax.grad(loss)(prob.q)
+    assert g.shape == prob.q.shape
+    assert bool(jnp.all(jnp.isfinite(g)))
+    # Finite-difference check on one coordinate.
+    eps = 1e-6
+    e = jnp.zeros_like(prob.q).at[2, 1].set(eps)
+    fd = (loss(prob.q + e) - loss(prob.q - e)) / (2 * eps)
+    assert abs(float(g[2, 1]) - float(fd)) < 1e-4 * max(1.0, abs(float(fd)))

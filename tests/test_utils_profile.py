@@ -35,3 +35,12 @@ def test_solve_summary(capsys):
     print_solve_summary(1.25, num_devices=4, backend="cpu")
     out = capsys.readouterr().out
     assert "Solve time" in out and "4 device" in out
+
+
+def test_linalg_flop_estimate():
+    from rslqr_tpu.profile import linalg_flop_estimate
+
+    est = linalg_flop_estimate(6, 3, 256)
+    assert est["flops_total"] > 0
+    assert est["flops_shur"] > est["flops_cholesky"]  # Schur updates dominate
+    assert 0 < est["arithmetic_intensity"] < 10  # memory-bound regime
