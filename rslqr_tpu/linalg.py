@@ -314,6 +314,111 @@ def bsolve_vec(A: jax.Array, b: jax.Array, nbatch: int = 1) -> jax.Array:
     return bsolve(A, jnp.expand_dims(b, -(nbatch + 1)), nbatch).squeeze(-(nbatch + 1))
 
 
+def blu_factor(A: jax.Array, nbatch: int = 1) -> Tuple[jax.Array, jax.Array]:
+    """Unpivoted Doolittle LU of ``[..., n, n, *b]`` blocks, unrolled.
+
+    Returns ``(LU, dinv)``: the packed factorization (unit-diagonal L below,
+    U on and above the diagonal) and the reciprocals of U's diagonal
+    ``[..., n, *b]`` (computed once so the substitution passes multiply
+    instead of divide). No pivoting: intended for well-conditioned blocks
+    like the parallel-scan combine's ``I + C J`` (eigenvalues >= 1 since
+    ``C``, ``J`` are PSD); general blocks should use :func:`bsolve`.
+    """
+    n = A.shape[-(nbatch + 2)]
+
+    def at(M, i, j):
+        idx = (Ellipsis, i, j) + (slice(None),) * nbatch
+        return M[idx]
+
+    lu = [[None] * n for _ in range(n)]
+    dinv = [None] * n
+    for k in range(n):
+        for j in range(k, n):
+            s = at(A, k, j)
+            for t in range(k):
+                s = s - lu[k][t] * lu[t][j]
+            lu[k][j] = s
+        dinv[k] = 1.0 / lu[k][k]
+        for i in range(k + 1, n):
+            s = at(A, i, k)
+            for t in range(k):
+                s = s - lu[i][t] * lu[t][k]
+            lu[i][k] = s * dinv[k]
+    rows = [
+        jnp.stack(lu[i], axis=-(nbatch + 1)) for i in range(n)
+    ]
+    return (
+        jnp.stack(rows, axis=-(nbatch + 2)),
+        jnp.stack(dinv, axis=-(nbatch + 1)),
+    )
+
+
+def blu_solve(LU, dinv, B, nbatch: int = 1) -> jax.Array:
+    """Solve ``A X = B`` given :func:`blu_factor` output; B ``[..., n, r, *b]``."""
+    n = LU.shape[-(nbatch + 2)]
+
+    def at(M, i, j):
+        idx = (Ellipsis, i, j) + (slice(None),) * nbatch
+        return M[idx]
+
+    def rowvec(M, i):
+        idx = (Ellipsis, i, slice(None)) + (slice(None),) * nbatch
+        return M[idx]
+
+    def col(v, i):  # [..., *b] -> broadcast over the r axis
+        idx = (Ellipsis, i) + (slice(None),) * nbatch
+        return jnp.expand_dims(v[idx], -(nbatch + 1))
+
+    # Forward substitution with unit-diagonal L.
+    ys = []
+    for i in range(n):
+        s = rowvec(B, i)
+        for k in range(i):
+            s = s - jnp.expand_dims(at(LU, i, k), -(nbatch + 1)) * ys[k]
+        ys.append(s)
+    # Back substitution with U.
+    xs = [None] * n
+    for i in reversed(range(n)):
+        s = ys[i]
+        for k in range(i + 1, n):
+            s = s - jnp.expand_dims(at(LU, i, k), -(nbatch + 1)) * xs[k]
+        xs[i] = s * col(dinv, i)
+    return jnp.stack(xs, axis=-(nbatch + 2))
+
+
+def blu_solve_t(LU, dinv, B, nbatch: int = 1) -> jax.Array:
+    """Solve ``A' X = B`` given :func:`blu_factor` output (``A' = U' L'``)."""
+    n = LU.shape[-(nbatch + 2)]
+
+    def at(M, i, j):
+        idx = (Ellipsis, i, j) + (slice(None),) * nbatch
+        return M[idx]
+
+    def rowvec(M, i):
+        idx = (Ellipsis, i, slice(None)) + (slice(None),) * nbatch
+        return M[idx]
+
+    def col(v, i):
+        idx = (Ellipsis, i) + (slice(None),) * nbatch
+        return jnp.expand_dims(v[idx], -(nbatch + 1))
+
+    # U' z = B: lower triangular with U's diagonal; (U')[i,k] = U[k,i].
+    zs = []
+    for i in range(n):
+        s = rowvec(B, i)
+        for k in range(i):
+            s = s - jnp.expand_dims(at(LU, k, i), -(nbatch + 1)) * zs[k]
+        zs.append(s * col(dinv, i))
+    # L' x = z: unit upper triangular; (L')[i,k] = L[k,i].
+    xs = [None] * n
+    for i in reversed(range(n)):
+        s = zs[i]
+        for k in range(i + 1, n):
+            s = s - jnp.expand_dims(at(LU, k, i), -(nbatch + 1)) * xs[k]
+        xs[i] = s
+    return jnp.stack(xs, axis=-(nbatch + 2))
+
+
 def beye(n: int, like: jax.Array, nbatch: int = 1) -> jax.Array:
     """Identity block broadcastable against ``[..., n, n, *b]`` arrays."""
     return jnp.eye(n, dtype=like.dtype).reshape((n, n) + (1,) * nbatch)

@@ -59,41 +59,53 @@ def _combine(e1, e2, nb: int):
     """Associative combine of conditional-value-function elements.
 
     ``e = (F, c, C, eta, J)`` with shapes ``[..., n, n, *b]`` / ``[..., n, *b]``.
+
+    Only ONE factorization is needed per combine: with ``M1 = (I + C1 J2)^-1``
+    and ``M2 = (I + J2 C1)^-1``, symmetry of C1 and J2 gives
+    ``M2 J2 = J2 M1`` and the Woodbury-style identity ``M2 = I - J2 M1 C1``,
+    so every M2 application routes through M1:
+
+      J   = F1' M2 J2 F1 + J1       = F1' J2 (M1 F1) + J1
+      eta = F1' M2 w + eta1,  w = eta2 - J2 c1
+                                    = F1' (w - J2 M1 (C1 w)) + eta1
+
+    The small-block path factors ``I + C1 J2`` once with an unpivoted LU
+    (eigenvalues >= 1 since C1 J2 is a PSD product — well-conditioned) and
+    solves a single stacked right-hand side of width 2n+2.
     """
     F1, c1, C1, eta1, J1 = e1
     F2, c2, C2, eta2, J2 = e2
     n = F1.shape[-(nb + 2)]
     eye = la.beye(n, F1, nb)
 
-    # M1 = (I + C1 J2)^{-1} applied from the left.
     IC = eye + la.bgemm(C1, J2, nb)
-    # Solve IC @ X = [F1 | c1 + C1 eta2] once.
-    rhs1 = jnp.concatenate(
-        [F1, jnp.expand_dims(c1 + la.bgemv(C1, eta2, nb), -(nb + 1)), C1],
+    w = eta2 - la.bgemv(J2, c1, nb)
+    rhs = jnp.concatenate(
+        [
+            F1,
+            jnp.expand_dims(c1 + la.bgemv(C1, eta2, nb), -(nb + 1)),
+            C1,
+            jnp.expand_dims(la.bgemv(C1, w, nb), -(nb + 1)),
+        ],
         axis=-(nb + 1),
     )
-    sol1 = la.bsolve(IC, rhs1, nb)
-    MF1 = sol1[(Ellipsis, slice(0, n)) + (slice(None),) * nb]
-    Mc = sol1[(Ellipsis, n) + (slice(None),) * nb]
-    MC1 = sol1[(Ellipsis, slice(n + 1, 2 * n + 1)) + (slice(None),) * nb]
+    if n <= la.MXU_BLOCK_THRESHOLD:
+        LU, dinv = la.blu_factor(IC, nb)
+        sol = la.blu_solve(LU, dinv, rhs, nb)
+    else:
+        sol = la.bsolve(IC, rhs, nb)
+    MF1 = sol[(Ellipsis, slice(0, n)) + (slice(None),) * nb]
+    Mc = sol[(Ellipsis, n) + (slice(None),) * nb]
+    MC1 = sol[(Ellipsis, slice(n + 1, 2 * n + 1)) + (slice(None),) * nb]
+    MCw = sol[(Ellipsis, 2 * n + 1) + (slice(None),) * nb]
 
     F = la.bgemm(F2, MF1, nb)
     c = la.bgemv(F2, Mc, nb) + c2
     C = la.bgemm(la.bgemm(F2, MC1, nb), la.transpose_block(F2, nb), nb) + C2
 
-    # M2 = (I + J2 C1)^{-1}: solve (I + J2 C1) X = [J2 F1 | eta2 - J2 c1].
-    JC = eye + la.bgemm(J2, C1, nb)
-    rhs2 = jnp.concatenate(
-        [la.bgemm(J2, F1, nb), jnp.expand_dims(eta2 - la.bgemv(J2, c1, nb), -(nb + 1))],
-        axis=-(nb + 1),
-    )
-    sol2 = la.bsolve(JC, rhs2, nb)
-    MJF = sol2[(Ellipsis, slice(0, n)) + (slice(None),) * nb]
-    Meta = sol2[(Ellipsis, n) + (slice(None),) * nb]
-
     F1t = la.transpose_block(F1, nb)
-    J = la.bgemm(F1t, MJF, nb) + J1
-    eta = la.bgemv(F1t, Meta, nb) + eta1
+    J = la.bgemm(F1t, la.bgemm(J2, MF1, nb), nb) + J1
+    eta = la.bgemv(F1t, w - la.bgemv(J2, MCw, nb), nb) + eta1
     return (F, c, C, eta, J)
 
 

@@ -90,3 +90,31 @@ def test_bgemv(nbatch):
     out = la.bgemv(A, x, nbatch)
     ref = np.einsum("gij...,gj...->gi...", np.asarray(A), np.asarray(x))
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-10)
+
+
+@pytest.mark.parametrize("n", [2, 6])
+@pytest.mark.parametrize("nbatch", [0, 1])
+def test_blu_factor_solve(n, nbatch):
+    key = jax.random.PRNGKey(n + 300)
+    b = (4,) * nbatch
+    A = _rand(key, (3, n, n) + b) + 2 * n * jnp.eye(n).reshape(
+        (1, n, n) + (1,) * nbatch
+    )
+    LU, dinv = la.blu_factor(A, nbatch)
+    # Reconstruct A = L @ U from the packed factorization.
+    LUn = np.asarray(LU)
+    Lm = np.tril(np.moveaxis(LUn, [-2 - nbatch, -1 - nbatch], [-2, -1]), -1)
+    Lm += np.eye(n)
+    Um = np.triu(np.moveaxis(LUn, [-2 - nbatch, -1 - nbatch], [-2, -1]))
+    rec = np.moveaxis(Lm @ Um, [-2, -1], [-2 - nbatch, -1 - nbatch])
+    np.testing.assert_allclose(rec, np.asarray(A), atol=1e-8)
+    # Solve round-trips, both A X = B and A' X = B.
+    X = _rand(jax.random.fold_in(key, 1), (3, n, 2) + b)
+    B = la.bgemm(A, X, nbatch)
+    np.testing.assert_allclose(
+        np.asarray(la.blu_solve(LU, dinv, B, nbatch)), np.asarray(X), atol=1e-8
+    )
+    Bt = la.bgemm(la.transpose_block(A, nbatch), X, nbatch)
+    np.testing.assert_allclose(
+        np.asarray(la.blu_solve_t(LU, dinv, Bt, nbatch)), np.asarray(X), atol=1e-8
+    )
