@@ -7,15 +7,24 @@ the fastest solver family (rsLQR tree solve vs associative-scan parallel
 Riccati); per-solver numbers go to stderr.
 
 Methodology mirrors the reference's sample_problem_test.c:47-67 (repeated
-solves, robust statistic), with one TPU-specific correction: the result is
-reduced to a scalar and fetched to the host each iteration, because on the
-remote-TPU tunnel ``block_until_ready`` can return before execution
-completes, which silently inflates throughput ~1000x.
+solves, robust statistic), with two TPU-specific corrections:
+
+1. The result is reduced to a scalar and fetched to the host to force real
+   completion, because on the remote-TPU tunnel ``block_until_ready`` can
+   return before execution completes (silently inflates throughput ~1000x).
+2. The host round trip on this tunnel costs ~25 ms — more than the solve
+   itself — so each timed program runs K data-dependent chained solves
+   inside one ``lax.fori_loop`` (iteration i's x0 is nudged by a denormal
+   function of iteration i-1's output, enforcing sequential execution
+   without changing the numerics), and the per-solve time is the finite
+   difference (t(K2) - t(K1)) / (K2 - K1). This measures steady-state
+   device throughput, which is what batched production serving sees.
 
 Env knobs: BENCH_BATCH (1024), BENCH_HORIZON (256), BENCH_REPS (5),
-BENCH_SOLVER (both|rslqr|pscan).
+BENCH_SOLVER (both|rslqr|pscan), BENCH_K1/BENCH_K2 (1/9).
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -42,20 +51,51 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def time_solver(name, kkt_fn, batch, batch_size, reps):
-    reduced = jax.jit(lambda b: jnp.sum(kkt_fn(b)))
+def _chained(kkt_fn, K):
+    """Jitted runner of K sequentially-dependent solves (see module doc)."""
+
+    def run(b):
+        def body(i, carry):
+            eps, acc = carry
+            p2 = dataclasses.replace(b, x0=b.x0 + eps)
+            s = jnp.sum(kkt_fn(p2))
+            # ~1e-38 * O(1e3) is denormal noise: forces the data dependence
+            # without perturbing x0 at float32 resolution.
+            return (s * jnp.asarray(1e-38, s.dtype), acc + s)
+
+        zero = jnp.asarray(0.0, b.x0.dtype)
+        return jax.lax.fori_loop(0, K, body, (zero, zero))[1]
+
+    return jax.jit(run)
+
+
+def _time_median(fn, batch, reps, label):
     t0 = time.time()
-    float(reduced(batch))  # compile + first run, forced to completion
-    log(f"[bench] {name}: compile+first={time.time() - t0:.1f}s")
+    float(fn(batch))  # compile + first run, forced to completion
+    log(f"[bench] {label}: compile+first={time.time() - t0:.1f}s")
     times = []
     for _ in range(reps):
         t0 = time.time()
-        float(reduced(batch))  # scalar fetch forces real completion
+        float(fn(batch))  # scalar fetch forces real completion
         times.append(time.time() - t0)
     med = sorted(times)[len(times) // 2]
-    sps = batch_size / med
+    log(f"[bench] {label}: best {min(times)*1e3:.1f}ms median {med*1e3:.1f}ms")
+    return med
+
+
+def time_solver(name, kkt_fn, batch, batch_size, reps):
+    k1 = int(os.environ.get("BENCH_K1", "1"))
+    k2 = int(os.environ.get("BENCH_K2", "9"))
+    t_k1 = _time_median(_chained(kkt_fn, k1), batch, reps, f"{name} K={k1}")
+    t_k2 = _time_median(_chained(kkt_fn, k2), batch, reps, f"{name} K={k2}")
+    per_solve = (t_k2 - t_k1) / (k2 - k1)
+    if per_solve <= 0.25 * t_k2 / k2:
+        # Dispatch noise swamped the finite difference; use the chained mean
+        # (a conservative upper bound on the per-solve time).
+        per_solve = t_k2 / k2
+    sps = batch_size / per_solve
     log(
-        f"[bench] {name}: best {min(times)*1e3:.1f}ms median {med*1e3:.1f}ms"
+        f"[bench] {name}: {per_solve*1e3:.2f} ms/batched-solve (diff method)"
         f" -> {sps:,.0f} solves/s"
     )
     return sps

@@ -11,6 +11,7 @@ Env: SCALE_DEVICES (e.g. "1,2,4,8"), SCALE_BATCH (512), SCALE_HORIZON (256),
 SCALE_MODE (dp|sp), SCALE_PLATFORM (cpu to force the virtual mesh).
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -54,16 +55,35 @@ def main():
             continue
         if mode == "dp":
             mesh = make_mesh((d,), ("dp",), devices[:d])
-            fn = jax.jit(lambda b: jnp.sum(solve_batch_sharded(b, mesh).kkt_vector()))
+            solve = lambda b: jnp.sum(solve_batch_sharded(b, mesh).kkt_vector())
         else:
             mesh = make_mesh((1, d), ("dp", "sp"), devices[:d])
-            fn = jax.jit(lambda b: jnp.sum(solve_seq_sharded(b, mesh, "sp", "dp")))
-        float(fn(batch))  # compile
+            solve = lambda b: jnp.sum(solve_seq_sharded(b, mesh, "sp", "dp"))
+
+        # Chain K sequentially-dependent solves per program so per-dispatch
+        # host latency (~25 ms on the remote-TPU tunnel) amortizes out; see
+        # bench.py for the methodology.
+        def chained(K, solve=solve):
+            def run(b):
+                def body(i, carry):
+                    eps, acc = carry
+                    s = solve(dataclasses.replace(b, x0=b.x0 + eps))
+                    return (s * jnp.asarray(1e-38, s.dtype), acc + s)
+                zero = jnp.asarray(0.0, b.x0.dtype)
+                return jax.lax.fori_loop(0, K, body, (zero, zero))[1]
+            return jax.jit(run)
+
+        k1, k2 = 1, int(os.environ.get("SCALE_CHAIN", "5"))
+        f1, f2 = chained(k1), chained(k2)
+        float(f1(batch)), float(f2(batch))  # compile
         ts = []
         for _ in range(reps):
-            t0 = time.time()
-            float(fn(batch))
-            ts.append(time.time() - t0)
+            t0 = time.time(); float(f1(batch)); t1 = time.time() - t0
+            t0 = time.time(); float(f2(batch)); t2 = time.time() - t0
+            # Fall back to the chained mean when dispatch noise swamps the
+            # finite difference (tiny problems on fast local backends).
+            diff = (t2 - t1) / (k2 - k1)
+            ts.append(diff if diff > 0.25 * t2 / k2 else t2 / k2)
         t = min(ts)
         times[d] = t
         eff = times[counts[0]] / (t * d / counts[0]) if counts[0] in times else 1.0
