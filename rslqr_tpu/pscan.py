@@ -109,6 +109,87 @@ def _combine(e1, e2, nb: int):
     return (F, c, C, eta, J)
 
 
+def _combine_reduced(e1, pj2, nb: int):
+    """Reduced combine: full left element x (eta2, J2) of the right segment
+    -> (eta, J) of the combination only.
+
+    Every *final* output of the suffix scan is consumed solely as a
+    cost-to-go pair ``(P, p) = (J, -eta)`` — and, inside the recursion, as
+    the right argument of another reduced combine (which again reads only
+    ``eta2``/``J2``). So the scan's down-sweep never needs ``F``/``c``/``C``
+    of its results: this variant drops those 3 of 5 gemms and halves the LU
+    right-hand-side width (n+1 instead of 2n+2) relative to :func:`_combine`.
+    """
+    F1, c1, C1, eta1, J1 = e1
+    eta2, J2 = pj2
+    n = F1.shape[-(nb + 2)]
+    eye = la.beye(n, F1, nb)
+
+    IC = eye + la.bgemm(C1, J2, nb)
+    w = eta2 - la.bgemv(J2, c1, nb)
+    rhs = jnp.concatenate(
+        [F1, jnp.expand_dims(la.bgemv(C1, w, nb), -(nb + 1))], axis=-(nb + 1)
+    )
+    if n <= la.MXU_BLOCK_THRESHOLD:
+        LU, dinv = la.blu_factor(IC, nb)
+        sol = la.blu_solve(LU, dinv, rhs, nb)
+    else:
+        sol = la.bsolve(IC, rhs, nb)
+    MF1 = sol[(Ellipsis, slice(0, n)) + (slice(None),) * nb]
+    MCw = sol[(Ellipsis, n) + (slice(None),) * nb]
+
+    F1t = la.transpose_block(F1, nb)
+    J = la.bgemm(F1t, la.bgemm(J2, MF1, nb), nb) + J1
+    eta = la.bgemv(F1t, w - la.bgemv(J2, MCw, nb), nb) + eta1
+    return eta, J
+
+
+def _tree_slice(elems, sl):
+    return tuple(x[sl] for x in elems)
+
+
+def _interleave(a: jax.Array, b: jax.Array) -> jax.Array:
+    """[L, ...], [L, ...] -> [2L, ...] as a0 b0 a1 b1 ..."""
+    return jnp.stack([a, b], axis=1).reshape((-1,) + a.shape[1:])
+
+
+def _suffix_pj(elems, nb: int) -> Tuple[jax.Array, jax.Array]:
+    """All-suffix reductions of value elements, returning only ``(eta, J)``.
+
+    Hand-rolled odd-even (Brent–Kung) suffix scan replacing
+    ``lax.associative_scan(reverse=True)``: the up-sweep (pairwise full
+    combines, N-1 total) is identical, but the down-sweep (~N combines)
+    uses :func:`_combine_reduced` because every down-sweep result is final —
+    ~25% fewer flops and ~2.5x less write traffic on that half of the scan.
+    """
+    L = elems[0].shape[0]
+    if L == 1:
+        return elems[3], elems[4]
+    if L % 2 == 1:
+        # Peel the first element: S_0 = combine(e_0, S_1).
+        eta_r, J_r = _suffix_pj(_tree_slice(elems, slice(1, None)), nb)
+        e0 = _tree_slice(elems, slice(0, 1))
+        eta0, J0 = _combine_reduced(e0, (eta_r[:1], J_r[:1]), nb)
+        return (
+            jnp.concatenate([eta0, eta_r], axis=0),
+            jnp.concatenate([J0, J_r], axis=0),
+        )
+    e_even = _tree_slice(elems, slice(0, None, 2))
+    e_odd = _tree_slice(elems, slice(1, None, 2))
+    c = _combine(e_even, e_odd, nb)  # segment [2i, 2i+1], full elements
+    eta_p, J_p = _suffix_pj(c, nb)  # S_{2i} = suffix over pairs i..  (even outs)
+    # S_{2i+1} = combine(e_{2i+1}, S_{2i+2}) for i < L/2-1; S_{L-1} = e_{L-1}.
+    if L > 2:
+        eta_o, J_o = _combine_reduced(
+            _tree_slice(e_odd, slice(0, -1)), (eta_p[1:], J_p[1:]), nb
+        )
+        eta_odd = jnp.concatenate([eta_o, e_odd[3][-1:]], axis=0)
+        J_odd = jnp.concatenate([J_o, e_odd[4][-1:]], axis=0)
+    else:
+        eta_odd, J_odd = e_odd[3], e_odd[4]
+    return _interleave(eta_p, eta_odd), _interleave(J_p, J_odd)
+
+
 def _value_scan(prob_bl: LQRProblem, nb: int) -> Tuple[jax.Array, jax.Array]:
     """Suffix-scan all cost-to-go pairs ``(P_k [N,n,n,*b], p_k [N,n,*b])``."""
     A, B = prob_bl.A, prob_bl.B
@@ -142,12 +223,7 @@ def _value_scan(prob_bl: LQRProblem, nb: int) -> Tuple[jax.Array, jax.Array]:
         jnp.concatenate([Jq, JN], axis=0),
     )
 
-    # NB: with reverse=True, associative_scan calls fn(later, earlier); our
-    # combine is written (earlier, later), so swap the arguments.
-    suffix = jax.lax.associative_scan(
-        lambda a, b_: _combine(b_, a, nb), elems, reverse=True, axis=0
-    )
-    _, _, _, eta_all, J_all = suffix
+    eta_all, J_all = _suffix_pj(elems, nb)
     P = J_all  # [N, n, n, *b]
     p = -eta_all  # [N, n, *b]
     return P, p
@@ -176,22 +252,44 @@ def _gains(prob_bl: LQRProblem, P, p, nb: int):
     return K, d
 
 
+def _prefix_action(Phi, tvec, x0, nb: int) -> jax.Array:
+    """All-prefix actions ``a_k = (Phi_k ∘ ... ∘ Phi_0)(x0)``, i.e. x_{k+1}.
+
+    Odd-even prefix scan over affine maps where the down-sweep propagates
+    only the map's *action* on the fixed x0 — a gemv instead of the gemm a
+    generic ``associative_scan`` over (Phi, t) pairs would do. Up-sweep
+    (pairwise map composition) is unchanged.
+    """
+    L = Phi.shape[0]
+    if L == 1:
+        return (la.bgemv(Phi[0], x0, nb) + tvec[0])[None]
+    if L % 2 == 1:
+        head = _prefix_action(Phi[:-1], tvec[:-1], x0, nb)
+        last = la.bgemv(Phi[-1], head[-1], nb) + tvec[-1]
+        return jnp.concatenate([head, last[None]], axis=0)
+    Phi_e, Phi_o = Phi[0::2], Phi[1::2]
+    t_e, t_o = tvec[0::2], tvec[1::2]
+    # Composition over segment [2i, 2i+1].
+    Phi_c = la.bgemm(Phi_o, Phi_e, nb)
+    t_c = la.bgemv(Phi_o, t_e, nb) + t_o
+    a_pair = _prefix_action(Phi_c, t_c, x0, nb)  # a_{2i+1}
+    # a_0 = Phi_0 x0 + t_0; a_{2i} = Phi_{2i} a_{2i-1} + t_{2i} (gemv only).
+    a0 = la.bgemv(Phi_e[0], x0, nb) + t_e[0]
+    if L > 2:
+        a_even_rest = la.bgemv(Phi_e[1:], a_pair[:-1], nb) + t_e[1:]
+        a_even = jnp.concatenate([a0[None], a_even_rest], axis=0)
+    else:
+        a_even = a0[None]
+    return _interleave(a_even, a_pair)
+
+
 def _forward_scan(prob_bl: LQRProblem, K, d, nb: int):
     """Prefix-scan the closed-loop rollout x_{k+1} = Phi_k x_k + t_k."""
     A, B = prob_bl.A[:-1], prob_bl.B[:-1]
     Phi = A + la.bgemm(B, K, nb)
     tvec = la.bgemv(B, d, nb) + prob_bl.f[:-1]
-
-    def comb(e1, e2):
-        P1, t1 = e1
-        P2, t2 = e2
-        return la.bgemm(P2, P1, nb), la.bgemv(P2, t1, nb) + t2
-
-    Pfx, tfx = jax.lax.associative_scan(comb, (Phi, tvec), axis=0)
-    # x_{k+1} = Pfx[k] x0 + tfx[k]
-    x0 = prob_bl.x0
-    xs = la.bgemv(Pfx, x0[None], nb) + tfx  # [N-1, n, *b]
-    X = jnp.concatenate([x0[None], xs], axis=0)  # [N, n, *b]
+    xs = _prefix_action(Phi, tvec, prob_bl.x0, nb)  # [N-1, n, *b]
+    X = jnp.concatenate([prob_bl.x0[None], xs], axis=0)  # [N, n, *b]
     return X
 
 

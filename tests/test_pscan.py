@@ -57,3 +57,16 @@ def test_pscan_random_kkt():
     prob = problem.random_problem(key, 32, 4, 2, dtype=jnp.float64)
     out = pscan.solve_pscan_kkt(prob)
     assert float(problem.kkt_residual(prob, out)) < 1e-7
+
+
+@pytest.mark.parametrize("N", [2, 3, 5, 7, 13])
+def test_pscan_non_pow2_horizon(N):
+    """pscan (unlike the tree solver) accepts any horizon: exercises the
+    odd-length peel branches of the hand-rolled odd-even scans."""
+    prob = problem.random_problem(jax.random.PRNGKey(N), N, 4, 2, dtype=jnp.float64)
+    out = pscan.solve_pscan_kkt(prob)
+    assert float(problem.kkt_residual(prob, out)) < 1e-7
+    ser = riccati.solve_riccati(prob)
+    par = pscan.solve_pscan(prob)
+    np.testing.assert_allclose(np.asarray(par.X), np.asarray(ser.X), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(par.P), np.asarray(ser.P), atol=1e-8)
