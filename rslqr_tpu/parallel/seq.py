@@ -321,7 +321,6 @@ def solve_seq_sharded(
     zspec = knot_spec(pshift.q.ndim)
     zy, zx, zu = jax.shard_map(
         body, mesh=mesh, in_specs=(specs,), out_specs=(zspec, zspec, zspec),
-        check_vma=False,
     )(pshift)
 
     def bf(x):

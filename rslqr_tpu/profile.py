@@ -5,13 +5,21 @@ the phase profiler (``NdLqrProfile`` + OMP_TICK/OMP_TOC, solve.c:15-25,
 solver.h:31-74) and the global linalg time accumulator
 (``linalg_utils.{h,c}``). Under XLA a fused jit program has no internal
 phase boundaries, so phases are timed by running each stage as its own jitted
-function with forced completion — accurate for profiling, not used on the
-production fused path. ``jax.profiler`` traces cover intra-program analysis.
+function with forced completion — accurate for *relative* stage attribution
+(the role parallel_test.c plays in the reference), while ``t_total_ms`` is
+measured on the real fused production program. ``jax.profiler`` traces cover
+intra-program analysis.
+
+Phase mapping (ref solve.c:60-132): leaves / products / cholesky / cholsolve
+/ shur are the factorization phases, timed per level and accumulated exactly
+as the reference's OMP_TICK/OMP_TOC do; the RHS sweep (solve.c:137-182) is
+untimed in the reference too and only enters ``t_total_ms``.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Callable, Optional
 
@@ -20,6 +28,7 @@ import jax.numpy as jnp
 
 from .problem import LQRProblem
 from .tree import build_tree_tables
+from . import riccati as _riccati
 from . import rslqr
 
 
@@ -34,7 +43,7 @@ class SolveProfile:
 
     t_total_ms: float = 0.0
     t_leaves_ms: float = 0.0
-    t_products_ms: float = 0.0  # factorization sweep: inner products + chol
+    t_products_ms: float = 0.0
     t_cholesky_ms: float = 0.0
     t_cholsolve_ms: float = 0.0
     t_shur_ms: float = 0.0
@@ -79,6 +88,29 @@ class SolveProfile:
         comp("Solve Shur Comp:", self.t_shur_ms, other.t_shur_ms)
 
 
+@dataclasses.dataclass
+class RiccatiProfile:
+    """Riccati per-pass wall-clock times in ms (ref riccati_solver.h:82-85,
+    populated by ndlqr_SolveRiccati, riccati_solve.c:16-22)."""
+
+    t_solve_ms: float = 0.0
+    t_backward_pass_ms: float = 0.0
+    t_forward_pass_ms: float = 0.0
+
+    def print(self) -> None:
+        """Ref ndlqr_PrintRiccatiSummary (riccati_solver.c:155-165)."""
+        t_bp, t_fp = self.t_backward_pass_ms, self.t_forward_pass_ms
+        # Percentages are of the summed pass times (the reference times the
+        # passes back-to-back, riccati_solve.c:12-22); t_solve_ms is the fused
+        # production program, which per-stage dispatch overhead can undercut.
+        t_passes = t_bp + t_fp
+        pct = (lambda t: 100.0 * t / t_passes if t_passes else 0.0)
+        print("Riccati Solve Summary")
+        print(f"  Solve time:    {self.t_solve_ms or t_passes:.3f} ms")
+        print(f"  Backward pass: {t_bp:.3f} ms ({pct(t_bp):.1f}%)")
+        print(f"  Forward pass:  {t_fp:.3f} ms ({pct(t_fp):.1f}%)")
+
+
 def _timed(fn: Callable, *args) -> float:
     """Run a jitted stage to completion, return milliseconds."""
     t0 = time.perf_counter()
@@ -93,44 +125,97 @@ def _timed(fn: Callable, *args) -> float:
 
 def profile_solve(prob: LQRProblem, repeats: int = 3) -> SolveProfile:
     """Time each solver phase separately (ref ENABLE_PROFILER path of
-    ndlqr_Solve, solve.c:60-132). Phases are jitted independently, so the
-    total differs from the fused-production solve — use it for *relative*
-    stage attribution, as the reference's parallel_test.c does."""
+    ndlqr_Solve, solve.c:60-132).
+
+    All five reference phases are timed per level and accumulated; the RHS
+    sweep is (as in the reference) part of ``t_total_ms`` only, which is
+    measured on the fused production program. Per-phase times carry
+    per-stage dispatch overhead, so use them for *relative* attribution,
+    as the reference's parallel_test.c does.
+    """
     t = build_tree_tables(prob.A.shape[-3])
     nb = prob.A.ndim - 3
     pbl = rslqr._to_batch_last(prob, nb)
+    depth = t.depth
 
     leaf = jax.jit(lambda p: rslqr._leaf_solve(p, t.levels, t.depth, nb))
-    sweep = jax.jit(lambda p, f: _sweep_all(p, f, t))
-    rhs = jax.jit(lambda p, f, r: rslqr._solve_rhs_bl(p, f, r, t))
+
+    @functools.partial(jax.jit, static_argnames=("level",))
+    def products(p, Fls, Fxs, Fus, level):
+        return rslqr._stage_products(p, level, depth, Fls, Fxs, Fus, nb)
+
+    cholesky = jax.jit(lambda Ss: rslqr._stage_cholesky(Ss, nb))
+    cholsolve = jax.jit(lambda Lc, Ss: rslqr._stage_cholsolve(Lc, Ss, nb))
+
+    @functools.partial(jax.jit, static_argnames=("level",))
+    def schur(Fls, Fxs, Fus, Ss, fsols, level):
+        Fls, Fxs, Fus = list(Fls), list(Fxs), list(Fus)
+        rslqr._stage_schur(level, depth, Fls, Fxs, Fus, Ss, fsols, nb)
+        return Fls, Fxs, Fus
+
+    total = jax.jit(rslqr.solve_kkt)
+
+    def run_phases(p: SolveProfile):
+        Fl, Fx, Fu, zy, zx, zu = leaf(pbl)
+        Fls = [Fl[u] for u in range(depth)]
+        Fxs = [Fx[u] for u in range(depth)]
+        Fus = [Fu[u] for u in range(depth)]
+        if p is not None:
+            p.t_leaves_ms += _timed(leaf, pbl)
+        for level in range(depth):
+            Ss = products(pbl, Fls, Fxs, Fus, level)
+            Lc = cholesky(Ss)
+            fsols = cholsolve(Lc, Ss)
+            if p is not None:
+                p.t_products_ms += _timed(products, pbl, Fls, Fxs, Fus, level)
+                p.t_cholesky_ms += _timed(cholesky, Ss)
+                if len(Ss) > 1:
+                    p.t_cholsolve_ms += _timed(cholsolve, Lc, Ss)
+                p.t_shur_ms += _timed(schur, Fls, Fxs, Fus, Ss, fsols, level)
+            Fls, Fxs, Fus = schur(Fls, Fxs, Fus, Ss, fsols, level)
+        return Fls
 
     prof = SolveProfile(num_devices=jax.local_device_count())
-    # Warm-up compiles.
-    Fl, Fx, Fu, zy, zx, zu = leaf(pbl)
-    fact0 = rslqr.RsLqrFactorization(
-        Flambda=Fl, Fstate=Fx, Finput=Fu,
-        chol=jnp.zeros((t.nhorizon - 1,) + Fl.shape[2:], Fl.dtype), nbatch=nb,
-    )
-    fact = sweep(pbl, fact0)
-    _ = rhs(pbl, fact, (zy, zx, zu))
+    run_phases(None)  # warm-up compiles of every per-level program
+    _ = _timed(total, prob)
 
     best = None
     for _ in range(repeats):
         p = SolveProfile(num_devices=prof.num_devices)
-        p.t_leaves_ms = _timed(leaf, pbl)
-        p.t_products_ms = _timed(sweep, pbl, fact0)
-        p.t_cholsolve_ms = 0.0  # folded into the fused sweep stage
-        p.t_shur_ms = _timed(rhs, pbl, fact, (zy, zx, zu))
-        p.t_total_ms = p.t_leaves_ms + p.t_products_ms + p.t_shur_ms
+        run_phases(p)
+        p.t_total_ms = _timed(total, prob)
         if best is None or p.t_total_ms < best.t_total_ms:
             best = p
     return best
 
 
-def _sweep_all(pbl, fact, t):
-    for level in range(t.depth):
-        fact = rslqr._sweep_level(pbl, t, level, fact)
-    return fact
+def profile_riccati(prob: LQRProblem, repeats: int = 3) -> RiccatiProfile:
+    """Time the Riccati backward and forward passes separately
+    (ref ndlqr_SolveRiccati + ndlqr_GetRiccatiSolveTimes,
+    riccati_solve.c:7-24, riccati_solver.c:180-194)."""
+    nb = prob.A.ndim - 3
+    if nb:
+        bw = jax.jit(jax.vmap(_riccati.backward_pass))
+        fw = jax.jit(jax.vmap(_riccati.forward_pass))
+        total = jax.jit(jax.vmap(lambda p: _riccati.solve_riccati(p).kkt_vector()))
+    else:
+        bw = jax.jit(_riccati.backward_pass)
+        fw = jax.jit(_riccati.forward_pass)
+        total = jax.jit(lambda p: _riccati.solve_riccati(p).kkt_vector())
+
+    K, d, P, p_ = bw(prob)  # warm-up
+    _ = fw(prob, K, d, P, p_)
+    _ = _timed(total, prob)
+
+    best = None
+    for _ in range(repeats):
+        prof = RiccatiProfile()
+        prof.t_backward_pass_ms = _timed(bw, prob)
+        prof.t_forward_pass_ms = _timed(fw, prob, K, d, P, p_)
+        prof.t_solve_ms = _timed(total, prob)
+        if best is None or prof.t_solve_ms < best.t_solve_ms:
+            best = prof
+    return best
 
 
 def linalg_flop_estimate(nstates: int, ninputs: int, nhorizon: int) -> dict:
@@ -185,12 +270,38 @@ def print_solve_summary(
     solve_time_ms: float,
     num_devices: Optional[int] = None,
     backend: Optional[str] = None,
+    problem: Optional[LQRProblem] = None,
+    hbm_gbps: float = 800.0,
 ) -> None:
-    """Ref ndlqr_PrintSolveSummary (solver.c:196-209)."""
+    """Ref ndlqr_PrintSolveSummary (solver.c:196-209).
+
+    When ``problem`` is given, also prints the linalg share of the solve as
+    achieved-vs-roofline figures — the TPU analogue of the reference's
+    "Time spent in linear algebra routines: x%" line (solver.c:202-205),
+    derived from the analytic FLOP/traffic model since individual linalg
+    calls can't be clocked inside one fused XLA program.
+    """
     print("rsLQR-TPU Solve Summary")
     print("-----------------------")
     print("  TPU-native recursive Schur-complement LQR solver (JAX/XLA).")
     print(f"  Solve time:  {solve_time_ms:f} ms")
+    if problem is not None and solve_time_ms > 0:
+        n = problem.A.shape[-2]
+        m = problem.B.shape[-1]
+        N = problem.A.shape[-3]
+        nbatch = 1
+        for s in problem.A.shape[:-3]:
+            nbatch *= s
+        est = linalg_flop_estimate(n, m, N)
+        secs = solve_time_ms * 1e-3
+        gflops = est["flops_total"] * nbatch / secs / 1e9
+        gbps = est["hbm_bytes_min_f32"] * nbatch / secs / 1e9
+        share = min(100.0, 100.0 * gbps / hbm_gbps)
+        print(
+            f"  Linear algebra: {gflops:.1f} GFLOP/s achieved, "
+            f"{gbps:.1f} GB/s min HBM traffic "
+            f"({share:.1f}% of {hbm_gbps:.0f} GB/s roofline)"
+        )
     nd = num_devices if num_devices is not None else jax.local_device_count()
     print(f"  Solved with {nd} device(s).")
     print(f"  Linear algebra backend: {backend or jax.default_backend()}")

@@ -227,46 +227,56 @@ def _lambda_mask(N: int, span: int, mid: int) -> np.ndarray:
     return mask
 
 
-def _sweep_level_core(prob, level: int, depth: int, Fls, Fxs, Fus, chols, nb: int):
-    """One level of the factorization sweep (body of the loop in solve.c:68-134),
-    operating on per-level factor lists ``F*s[u]`` of shape ``[N, r, n, *b]``.
+def _stage_products(prob, level: int, depth: int, Fls, Fxs, Fus, nb: int):
+    """Inner products ``S[u]`` for every fact level ``u >= level``
+    (ref solve.c:71-83, ndlqr_FactorInnerProduct nested_dissection.c:114-134).
 
-    Appends this level's separator Cholesky factors ``[G, n, n, *b]`` to
-    ``chols``. All knot-axis indexing is reshape+slice (see :func:`_group`).
+    Returns the list ``[S_level, S_{level+1}, ...]`` of ``[G, n, n, *b]``
+    separator blocks.
     """
-    N = prob.A.shape[0]
     span = 1 << (level + 1)
     mid = (1 << level) - 1  # separator position within a group; idx+1 is mid+1
     A_g = _group(prob.A, span)[:, mid]  # [G, n, n, *b]
     B_g = _group(prob.B, span)[:, mid]
-
-    # 1+2+3: inner products for every fact level u >= level, Cholesky at
-    #        u == level, triangular solves for u > level
-    #        (ref solve.c:71-116, nested_dissection.c:114-152).
-    Lc = None
-    fsols = {}
+    Ss = []
     for u in range(level, depth):
         gl = _group(Fls[u], span)
         gx = _group(Fxs[u], span)
         gu = _group(Fus[u], span)
-        S = (
+        Ss.append(
             la.bgemm(A_g, gx[:, mid], nb)
             + la.bgemm(B_g, gu[:, mid], nb)
             - gx[:, mid + 1]
             - gl[:, mid + 1]
         )
-        if u == level:
-            Lc = la.bcholesky(S, nb)
-            chols.append(Lc)
-            Snew = S
-        else:
-            Snew = la.bcho_solve(Lc, S, nb)
-            fsols[u] = Snew
-        Fls[u] = _ungroup(gl.at[:, mid + 1].set(Snew))
+    return Ss
 
-    # 4. Schur-complement updates for every knot (ref solve.c:119-131):
-    #    F*[u] -= F*[level] @ f_u  with f_u broadcast over each group and the
-    #    lambda row masked by the static calc_lambda pattern.
+
+def _stage_cholesky(Ss, nb: int):
+    """Batched Cholesky of this level's own separator blocks (solve.c:87-98)."""
+    return la.bcholesky(Ss[0], nb)
+
+
+def _stage_cholsolve(Lc, Ss, nb: int):
+    """Sbar backslash the upper-level separator blocks (solve.c:103-116,
+    ndlqr_SolveCholeskyFactor nested_dissection.c:136-152)."""
+    return [la.bcho_solve(Lc, S, nb) for S in Ss[1:]]
+
+
+def _stage_schur(level: int, depth: int, Fls, Fxs, Fus, Ss, fsols, nb: int):
+    """Write the separator blocks back into the factor slabs and apply the
+    Schur-complement updates to every knot (solve.c:119-131,
+    ndlqr_UpdateShurFactor nested_dissection.c:154-171). Mutates the lists.
+
+    ``F*[u] -= F*[level] @ f_u`` with ``f_u`` broadcast over each group and
+    the lambda row masked by the static calc_lambda pattern.
+    """
+    N = Fls[0].shape[0]
+    span = 1 << (level + 1)
+    mid = (1 << level) - 1
+    for ui, u in enumerate(range(level, depth)):
+        Snew = Ss[0] if u == level else fsols[ui - 1]
+        Fls[u] = _ungroup(_group(Fls[u], span).at[:, mid + 1].set(Snew))
     if level + 1 < depth:
         mask = _lambda_mask(N, span, mid + 1).reshape(
             (N // span, span, 1, 1) + (1,) * nb
@@ -274,12 +284,28 @@ def _sweep_level_core(prob, level: int, depth: int, Fls, Fxs, Fus, chols, nb: in
         FL_l = _group(Fls[level], span)
         FL_x = _group(Fxs[level], span)
         FL_u = _group(Fus[level], span)
-        for u in range(level + 1, depth):
-            f_u = fsols[u][:, None]  # [G, 1, n, n, *b] -> broadcast over span
+        for ui, u in enumerate(range(level + 1, depth)):
+            f_u = fsols[ui][:, None]  # [G, 1, n, n, *b] -> broadcast over span
             upd_l = la.bgemm(FL_l, f_u, nb)
             Fls[u] = _ungroup(_group(Fls[u], span) - jnp.where(mask, upd_l, 0))
             Fxs[u] = _ungroup(_group(Fxs[u], span) - la.bgemm(FL_x, f_u, nb))
             Fus[u] = _ungroup(_group(Fus[u], span) - la.bgemm(FL_u, f_u, nb))
+
+
+def _sweep_level_core(prob, level: int, depth: int, Fls, Fxs, Fus, chols, nb: int):
+    """One level of the factorization sweep (body of the loop in solve.c:68-134),
+    operating on per-level factor lists ``F*s[u]`` of shape ``[N, r, n, *b]``.
+
+    Composed of the four reference phases (products, cholesky, cholsolve,
+    shur) so the profiler can time each stage from the same source of truth.
+    Appends this level's separator Cholesky factors ``[G, n, n, *b]`` to
+    ``chols``. All knot-axis indexing is reshape+slice (see :func:`_group`).
+    """
+    Ss = _stage_products(prob, level, depth, Fls, Fxs, Fus, nb)
+    Lc = _stage_cholesky(Ss, nb)
+    chols.append(Lc)
+    fsols = _stage_cholsolve(Lc, Ss, nb)
+    _stage_schur(level, depth, Fls, Fxs, Fus, Ss, fsols, nb)
 
 
 def _sweep_level(

@@ -65,6 +65,32 @@ def test_tables_match_reference_walk():
                 assert lo <= kk <= hi
 
 
+def test_solver_inline_masks_match_tables():
+    """The solver re-derives the tree's index math inline as reshape/slice
+    patterns (rslqr._group/_lambda_mask); prove those equal the TreeTables
+    values so there is one source of truth for the trickiest index math
+    (ref nested_dissection.c:173-177, binary_tree.c:65-106)."""
+    from rslqr_tpu.rslqr import _lambda_mask
+
+    for N in (2, 4, 8, 16, 64, 256, 1024):
+        t = tree.build_tree_tables(N)
+        for L in range(t.depth):
+            span = 1 << (L + 1)
+            mid = (1 << L) - 1
+            # _group(x, span)[:, mid] picks the level-L separators in leaf
+            # order: group g's separator is knot g*span + mid.
+            sep_from_group = np.arange(N // span) * span + mid
+            np.testing.assert_array_equal(sep_from_group, t.leaf_index[L])
+            # Every knot's sep_index at level L is its own group's separator.
+            np.testing.assert_array_equal(
+                t.sep_index[:, L],
+                np.repeat(sep_from_group, span)[: N],
+            )
+            # The inline calc_lambda pattern equals the table column.
+            mask = _lambda_mask(N, span, mid + 1).reshape(-1)
+            np.testing.assert_array_equal(mask, t.calc_lambda[:, L])
+
+
 def test_non_power_of_two_rejected():
     with pytest.raises(ValueError):
         tree.build_tree_tables(6)
