@@ -2,9 +2,10 @@
 """Headline benchmark: batched N=256 (nx=6, nu=3) LQR solves/sec on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
-vs_baseline = value / 10_000 (the BASELINE.md target). The headline value is
-the fastest solver family (rsLQR tree solve vs associative-scan parallel
-Riccati); per-solver numbers go to stderr.
+vs_baseline = value / 10_000 (the BASELINE.md target) plus a "detail" field
+carrying best AND median solves/s for every solver timed (so headline claims
+stay reconcilable with driver-captured artifacts). The headline value is the
+MEDIAN of the fastest solver family.
 
 Methodology mirrors the reference's sample_problem_test.c:47-67 (repeated
 solves, robust statistic), with two TPU-specific corrections:
@@ -21,10 +22,12 @@ solves, robust statistic), with two TPU-specific corrections:
    device throughput, which is what batched production serving sees.
 
 Env knobs: BENCH_BATCH (1024), BENCH_HORIZON (256), BENCH_REPS (5),
-BENCH_SOLVER (both|rslqr|pscan), BENCH_K1/BENCH_K2 (1/9).
+BENCH_SOLVER (comma list of pscan|rslqr|rslqr_grid|refine, or "both" =
+pscan+rslqr), BENCH_K1/BENCH_K2 (1/9), BENCH_CONFIG (quadruped).
 """
 
 import dataclasses
+import functools
 import json
 import os
 import sys
@@ -42,13 +45,38 @@ jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import rslqr_tpu as rt
-from rslqr_tpu import pscan, rslqr
+from rslqr_tpu import pscan, refine, rslqr, rslqr_em
 
 BASELINE_SOLVES_PER_SEC = 10_000.0
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def _grid_kkt(p):
+    """Force the knot-major grid layout (A/B comparison path)."""
+    from rslqr_tpu.config import config
+
+    old = config.layout
+    config.layout = "grid"  # trace-time switch
+    try:
+        return rslqr.solve_kkt(p)
+    finally:
+        config.layout = old
+
+
+def _refine_kkt(p):
+    sol = refine.solve_refined(p, iterations=2, solve_dtype=jnp.float32)
+    return sol.kkt_vector()
+
+
+SOLVERS = {
+    "pscan": pscan.solve_pscan_kkt,
+    "rslqr": rslqr_em.solve_kkt_em,
+    "rslqr_grid": _grid_kkt,
+    "refine": _refine_kkt,
+}
 
 
 def _chained(kkt_fn, K):
@@ -69,7 +97,7 @@ def _chained(kkt_fn, K):
     return jax.jit(run)
 
 
-def _time_median(fn, batch, reps, label):
+def _time_stats(fn, batch, reps, label):
     t0 = time.time()
     float(fn(batch))  # compile + first run, forced to completion
     log(f"[bench] {label}: compile+first={time.time() - t0:.1f}s")
@@ -79,26 +107,31 @@ def _time_median(fn, batch, reps, label):
         float(fn(batch))  # scalar fetch forces real completion
         times.append(time.time() - t0)
     med = sorted(times)[len(times) // 2]
-    log(f"[bench] {label}: best {min(times)*1e3:.1f}ms median {med*1e3:.1f}ms")
-    return med
+    best = min(times)
+    log(f"[bench] {label}: best {best*1e3:.1f}ms median {med*1e3:.1f}ms")
+    return best, med
 
 
 def time_solver(name, kkt_fn, batch, batch_size, reps):
+    """Returns {"median": solves/s, "best": solves/s} via finite difference."""
     k1 = int(os.environ.get("BENCH_K1", "1"))
     k2 = int(os.environ.get("BENCH_K2", "9"))
-    t_k1 = _time_median(_chained(kkt_fn, k1), batch, reps, f"{name} K={k1}")
-    t_k2 = _time_median(_chained(kkt_fn, k2), batch, reps, f"{name} K={k2}")
-    per_solve = (t_k2 - t_k1) / (k2 - k1)
-    if per_solve <= 0.25 * t_k2 / k2:
-        # Dispatch noise swamped the finite difference; use the chained mean
-        # (a conservative upper bound on the per-solve time).
-        per_solve = t_k2 / k2
-    sps = batch_size / per_solve
-    log(
-        f"[bench] {name}: {per_solve*1e3:.2f} ms/batched-solve (diff method)"
-        f" -> {sps:,.0f} solves/s"
-    )
-    return sps
+    b1, m1 = _time_stats(_chained(kkt_fn, k1), batch, reps, f"{name} K={k1}")
+    b2, m2 = _time_stats(_chained(kkt_fn, k2), batch, reps, f"{name} K={k2}")
+    out = {}
+    for stat, t1, t2 in (("median", m1, m2), ("best", b1, b2)):
+        per_solve = (t2 - t1) / (k2 - k1)
+        if per_solve <= 0.25 * t2 / k2:
+            # Dispatch noise swamped the finite difference; use the chained
+            # mean (a conservative upper bound on the per-solve time).
+            per_solve = t2 / k2
+        out[stat] = batch_size / per_solve
+        if stat == "median":
+            log(
+                f"[bench] {name}: {per_solve*1e3:.2f} ms/batched-solve "
+                f"({stat}, diff method) -> {out[stat]:,.0f} solves/s"
+            )
+    return out
 
 
 def main():
@@ -106,11 +139,16 @@ def main():
     nhorizon = int(os.environ.get("BENCH_HORIZON", "256"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
     which = os.environ.get("BENCH_SOLVER", "both")
+    names = ["pscan", "rslqr"] if which == "both" else which.split(",")
+    cfg = ""
     if os.environ.get("BENCH_CONFIG") == "quadruped":
         # BASELINE.md config: nx=36, nu=12, N=512, 256 scenarios.
         batch_size = int(os.environ.get("BENCH_BATCH", "256"))
-        nhorizon = 512
-        prob = rt.random_problem(jax.random.PRNGKey(1), nhorizon, 36, 12, jnp.float32)
+        nhorizon = int(os.environ.get("BENCH_HORIZON", "512"))
+        cfg = "_quadruped"
+        prob = rt.random_problem(
+            jax.random.PRNGKey(1), nhorizon, 36, 12, jnp.float32
+        )
     else:
         path = "/root/reference/lqr_prob_256.json"
         if nhorizon == 256 and os.path.exists(path):
@@ -122,34 +160,38 @@ def main():
     batch = rt.batch_problems(prob, keys)
     jax.block_until_ready(batch)
     log(f"[bench] backend={jax.default_backend()} device={jax.devices()[0]} "
-        f"B={batch_size} N={nhorizon}")
+        f"B={batch_size} N={nhorizon} solvers={names}")
 
     results = {}
-    if which in ("both", "pscan"):
-        results["pscan"] = time_solver(
-            "pscan", pscan.solve_pscan_kkt, batch, batch_size, reps
-        )
-    if which in ("both", "rslqr"):
-        results["rslqr"] = time_solver(
-            "rslqr", rslqr.solve_kkt, batch, batch_size, reps
-        )
+    for name in names:
+        results[name] = time_solver(name, SOLVERS[name], batch, batch_size, reps)
 
     # f32 solution-quality context (not part of the headline metric).
     single = jax.tree.map(lambda x: x[:1], batch)
     out = jax.jit(rslqr.solve_kkt)(single)[0]
     res = float(rt.kkt_residual(jax.tree.map(lambda x: x[0], batch), out))
-    log(f"[bench] rslqr f32 KKT residual: {res:.3e} "
-        f"(refined path reaches <1e-8, see tests/test_refine.py)")
+    log(f"[bench] rslqr f32 KKT residual: {res:.3e}")
+    if "refine" in results:
+        outr = jax.jit(_refine_kkt)(single)[0]
+        resr = float(rt.kkt_residual(jax.tree.map(lambda x: x[0], batch), outr))
+        log(f"[bench] refined (2 iter) f32 KKT residual: {resr:.3e}")
 
-    best_name = max(results, key=results.get)
-    value = results[best_name]
+    best_name = max(results, key=lambda k: results[k]["median"])
+    value = results[best_name]["median"]
     print(
         json.dumps(
             {
-                "metric": f"lqr_solves_per_sec_chip_n{nhorizon}_b{batch_size}_f32_{best_name}",
+                "metric": (
+                    f"lqr_solves_per_sec_chip_n{nhorizon}_b{batch_size}"
+                    f"_f32{cfg}_{best_name}"
+                ),
                 "value": round(value, 1),
                 "unit": "solves/s",
                 "vs_baseline": round(value / BASELINE_SOLVES_PER_SEC, 3),
+                "detail": {
+                    k: {s: round(v, 1) for s, v in st.items()}
+                    for k, st in results.items()
+                },
             }
         )
     )

@@ -34,6 +34,14 @@ from .rslqr import (
     solve_kkt,
     solve_rhs,
 )
+from .rslqr_em import (
+    EmFactorization,
+    factorize_em,
+    leaf_rhs_em,
+    solve_em,
+    solve_kkt_em,
+    solve_rhs_em,
+)
 from .pscan import solve_pscan, solve_pscan_kkt
 from .refine import kkt_apply, kkt_rhs, solve_refined
 from .profile import SolveProfile, print_solve_summary, profile_solve

@@ -11,6 +11,7 @@ import (overridable programmatically), because under jit the equivalents of
 | RSLQR_TPU_MXU_THRESHOLD | 8  | block size above which linalg uses MXU lowerings |
 | RSLQR_TPU_MATMUL_PRECISION | highest | jax matmul precision for f32 solves |
 | RSLQR_TPU_REFINE_ITERS | 2  | default iterative-refinement steps |
+| RSLQR_TPU_LAYOUT | auto | tree-solver slab layout: auto / em / grid |
 """
 
 from __future__ import annotations
@@ -24,9 +25,27 @@ class Config:
     mxu_block_threshold: int = int(os.environ.get("RSLQR_TPU_MXU_THRESHOLD", "8"))
     matmul_precision: str = os.environ.get("RSLQR_TPU_MATMUL_PRECISION", "highest")
     refine_iterations: int = int(os.environ.get("RSLQR_TPU_REFINE_ITERS", "2"))
+    # "em": element-major slabs (dense [knot, batch] tiles, production TPU
+    # path for small blocks); "grid": knot-major [depth, N, n, n, *b] grids
+    # (reference-shaped, used by the golden intermediate-factor tests and the
+    # MXU large-block regime); "auto": em iff the block dims fit the
+    # small-block kernels.
+    layout: str = os.environ.get("RSLQR_TPU_LAYOUT", "auto")
+    # Pallas Schur-update kernel (ops/schur_pallas.py) on the em path:
+    # "auto" = compiled kernel on TPU, XLA elsewhere; "on" = compiled kernel
+    # wherever applicable; "interpret" = interpreter-mode kernel (CPU tests);
+    # "off" = always the XLA stage.
+    pallas: str = os.environ.get("RSLQR_TPU_PALLAS", "auto")
 
 
 config = Config()
+
+
+def set_layout(layout: str) -> None:
+    """Select the tree-solver slab layout ("auto" / "em" / "grid")."""
+    if layout not in ("auto", "em", "grid"):
+        raise ValueError(f"unknown layout {layout!r}")
+    config.layout = layout
 
 
 def set_mxu_block_threshold(n: int) -> None:

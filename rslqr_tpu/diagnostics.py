@@ -44,16 +44,29 @@ class SolveReport:
     finite: jax.Array  # bool, solution entirely finite
 
 
-def factorization_ok(fact: RsLqrFactorization) -> jax.Array:
+def factorization_ok(fact) -> jax.Array:
     """Per-instance "all Cholesky factors finite" predicate.
 
-    ``fact`` arrays are batch-last with ``fact.nbatch`` trailing batch axes;
-    returns an array of that batch shape (scalar for a single problem).
+    Accepts either factorization layout (:class:`RsLqrFactorization` grid or
+    :class:`rslqr_tpu.rslqr_em.EmFactorization` element planes); arrays are
+    batch-last with ``fact.nbatch`` trailing batch axes. Returns an array of
+    that batch shape (scalar for a single problem).
     """
     nb = fact.nbatch
-    chol = fact.chol
-    reduce_axes = tuple(range(chol.ndim - nb))
-    return jnp.all(jnp.isfinite(chol), axis=reduce_axes)
+    if isinstance(fact, RsLqrFactorization):
+        chol = fact.chol
+        reduce_axes = tuple(range(chol.ndim - nb))
+        return jnp.all(jnp.isfinite(chol), axis=reduce_axes)
+    # Element-major: reduce every diagonal Cholesky plane over its knot axis.
+    oks = [
+        jnp.all(jnp.isfinite(p), axis=tuple(range(p.ndim - nb)))
+        for level in fact.chols
+        for p in level
+    ]
+    out = oks[0]
+    for o in oks[1:]:
+        out = jnp.logical_and(out, o)
+    return out
 
 
 def check_solution(

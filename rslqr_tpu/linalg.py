@@ -46,6 +46,9 @@ def bgemm(A: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
         return _bgemm_mxu(A, B, nbatch)
     # A: [..., p, q, *b] -> [..., p, q, 1, *b]
     # B: [..., q, r, *b] -> [..., 1, q, r, *b]
+    # XLA fuses the broadcast-multiply-reduce into one pass; an unrolled
+    # q-term accumulation chain was measured ~25% SLOWER on TPU (worse
+    # scheduling), so keep the reduce formulation.
     q_axis = -(nbatch + 1)  # the contraction axis position after expansion
     Ae = jnp.expand_dims(A, q_axis)
     Be = jnp.expand_dims(B, -(nbatch + 3))

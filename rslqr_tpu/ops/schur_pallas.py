@@ -6,27 +6,35 @@ solver's hottest stage, the Schur updates of ``ndlqr_UpdateShurFactor``
 (nested_dissection.c:154-171, driven by solve.c:119-131):
 
     for every knot k and every upper level u > L:
-        Flambda[u][k] -= Flambda[L][k] @ f_u[group(k)]    (masked)
+        Flambda[u][k] = fsol[u][group(k)]                 at sep+1 knots
+        Flambda[u][k] -= Flambda[L][k] @ f_u[group(k)]    (masked) else
         Fstate[u][k]  -= Fstate[L][k]  @ f_u[group(k)]
         Finput[u][k]  -= Finput[L][k]  @ f_u[group(k)]
 
-One kernel invocation processes all upper levels and all three factor slabs
-with the batch on the 128-lane axis: the grid is (knot-tiles, batch-tiles,
-upper-levels) with the upper-level dimension innermost, so the level-L
-multiplier blocks are fetched to VMEM once per (knot, batch) tile and reused
-across every upper level (XLA re-reads them per level). The tiny block
-matmul unrolls to VPU lane math; the calc_lambda mask (knots that are
-multiples of 2^L skip the lambda row, except knot 0) is computed from the
-knot ids with bit arithmetic.
+This stage is ~2/3 of the solve's HBM traffic (every upper slab read +
+written once per level). The kernel enforces exactly one HBM pass:
 
-Block arrays are flattened: ``[*, nn=n*n, B]`` (row-major blocks), so every
-``(i, j)`` element slice is a clean ``[TK, TB]`` tile.
+* **Element-major layout** ``[n*n, N, B]``: each block element is a dense
+  ``[knots, batch]`` plane, so every FMA runs on full (8, 128) f32 tiles —
+  the knot-major layout would waste 6/8 sublanes per element slice.
+* **All upper levels in ONE kernel invocation** (separate refs per level,
+  unrolled loop in the body): the level-L multiplier blocks load to VMEM
+  once per (knot, batch) tile and feed every upper level's update — XLA
+  re-reads them per level.
+* The separator write-back (``fsol`` into the lambda slab at sep+1 knots)
+  and the calc_lambda mask (knots that are multiples of 2^L skip the lambda
+  update, except knot 0 — nested_dissection.c:173-177) fuse into the same
+  single write per output element.
+* In/out aliasing: each upper slab is updated in place (no extra buffers).
+
+The tiny block matmul unrolls to VPU lane math; the solved separator blocks
+``fsol`` broadcast over each group's rows (at most 4 groups per tile).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,119 +42,137 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(fll_ref, flx_ref, flu_ref, fl_ref, fx_ref, fu_ref, fs_ref,
-            ol_ref, ox_ref, ou_ref, *, n, m, level, tk, span, gd):
+def _kernel(*refs, n, m, level, tk, tb, span, U, gd):
+    nn, mn = n * n, m * n
+    fll, flx, flu = refs[0:3]
+    fls = refs[3 : 3 + U]
+    fxs = refs[3 + U : 3 + 2 * U]
+    fus = refs[3 + 2 * U : 3 + 3 * U]
+    fss = refs[3 + 3 * U : 3 + 4 * U]
+    ols = refs[3 + 4 * U : 3 + 5 * U]
+    oxs = refs[3 + 5 * U : 3 + 6 * U]
+    ous = refs[3 + 6 * U :]
+
     i = pl.program_id(0)
     halfspan = 1 << level
+    rpg = max(tk // gd, 1)  # rows per group within the tile
 
-    FLl = fll_ref[...]  # [TK, nn, TB]
-    FLx = flx_ref[...]
-    FLu = flu_ref[...]  # [TK, mn, TB]
-    Fl = fl_ref[0]      # [TK, nn, TB]
-    Fx = fx_ref[0]
-    Fu = fu_ref[0]
-
-    # calc_lambda (nested_dissection.c:173-177): knots that are multiples of
-    # 2^level are range starts and skip the lambda update, except knot 0.
     knots = i * tk + jax.lax.broadcasted_iota(jnp.int32, (tk, 1), 0)
-    # Masked knots are exactly the multiples of 2^level (both range starts);
-    # knot 0 is exempt. For level 0 this masks every knot but 0 — correct:
-    # every knot is some leaf node's range start (binarytree structure).
+    # calc_lambda (nested_dissection.c:173-177): multiples of 2^level are
+    # range starts and skip the lambda update, except knot 0. For level 0
+    # this keeps only knot 0 — correct: every knot is some leaf node's
+    # range start.
     keep = jnp.logical_or((knots & (halfspan - 1)) != 0, knots == 0)
+    # Separator write positions: knot == sep+1 <=> knot % span == 2^level.
+    sep = (knots & (span - 1)) == halfspan
+    zero = jnp.zeros((), fll.dtype)
 
-    rows_per_g = span if gd > 1 else tk
+    for u in range(U):
+        fs = fss[u]  # [gd, nn, tb] block of the group-major [G, nn, B] array
 
-    def mm(FL, f, p):
-        """FL @ f for one group's rows, unrolled; p = block rows."""
-        outs = []
-        for i_ in range(p):
-            for k_ in range(n):
-                acc = FL[:, i_ * n, :] * f[k_, :]
-                for j in range(1, n):
-                    acc = acc + FL[:, i_ * n + j, :] * f[j * n + k_, :]
-                outs.append(acc)
-        return jnp.stack(outs, axis=1)  # [rows, p*n, TB]
+        def fplane(e):
+            """Broadcast solved-separator element e over its group's rows."""
+            if gd == 1:
+                return jnp.broadcast_to(fs[0, e][None, :], (tk, tb))
+            parts = [
+                jnp.broadcast_to(fs[g, e][None, :], (rpg, tb))
+                for g in range(gd)
+            ]
+            return jnp.concatenate(parts, axis=0)
 
-    upd_l = []
-    upd_x = []
-    upd_u = []
-    for g in range(gd):
-        sl = slice(g * rows_per_g, (g + 1) * rows_per_g)
-        f = fs_ref[0, g]  # [nn, TB]
-        upd_l.append(mm(FLl[sl], f, n))
-        upd_x.append(mm(FLx[sl], f, n))
-        upd_u.append(mm(FLu[sl], f, m))
-    ul = jnp.concatenate(upd_l, axis=0) if gd > 1 else upd_l[0]
-    ux = jnp.concatenate(upd_x, axis=0) if gd > 1 else upd_x[0]
-    uu = jnp.concatenate(upd_u, axis=0) if gd > 1 else upd_u[0]
+        fpl = [fplane(e) for e in range(nn)]
 
-    keep3 = keep[:, :, None]
-    ol_ref[0] = Fl - jnp.where(keep3, ul, 0.0)
-    ox_ref[0] = Fx - ux
-    ou_ref[0] = Fu - uu
+        def mm(FL, p):
+            """``FL @ f`` unrolled: p*n output planes of [tk, tb] FMAs."""
+            outs = []
+            for i_ in range(p):
+                for k_ in range(n):
+                    acc = FL[i_ * n] * fpl[k_]
+                    for j in range(1, n):
+                        acc = acc + FL[i_ * n + j] * fpl[j * n + k_]
+                    outs.append(acc)
+            return outs
+
+        ul = mm(fll, n)
+        ux = mm(flx, n)
+        uu = mm(flu, m)
+        for e in range(nn):
+            ols[u][e] = jnp.where(
+                sep, fpl[e], fls[u][e] - jnp.where(keep, ul[e], zero)
+            )
+            oxs[u][e] = fxs[u][e] - ux[e]
+        for e in range(mn):
+            ous[u][e] = fus[u][e] - uu[e]
 
 
 @functools.partial(
     jax.jit, static_argnames=("level", "n", "m", "interpret", "tk", "tb")
 )
-def schur_update_level(
-    FLl: jax.Array,   # [N, nn, B]  level-L lambda multiplier blocks
-    FLx: jax.Array,   # [N, nn, B]
-    FLu: jax.Array,   # [N, mn, B]
-    Fls: jax.Array,   # [U, N, nn, B]  stacked upper-level slabs
-    Fxs: jax.Array,   # [U, N, nn, B]
-    Fus: jax.Array,   # [U, N, mn, B]
-    fsol: jax.Array,  # [U, G, nn, B]  solved separator blocks per group
+def schur_update_level_em(
+    FLl: jax.Array,            # [nn, N, B] level-L lambda multiplier slab
+    FLx: jax.Array,            # [nn, N, B]
+    FLu: jax.Array,            # [mn, N, B]
+    Fls: Sequence[jax.Array],  # U upper-level slabs [nn, N, B]
+    Fxs: Sequence[jax.Array],  # U x [nn, N, B]
+    Fus: Sequence[jax.Array],  # U x [mn, N, B]
+    fsol: Sequence[jax.Array],  # U solved separator blocks, GROUP-major
+                                # [G, nn, B] (groups lead: the TPU block
+                                # constraint pins the last two dims to
+                                # (8k, 128)-aligned or full-size)
     level: int,
     n: int,
     m: int,
     interpret: bool = False,
     tk: int = 8,
     tb: int = 128,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Apply the level-``level`` Schur updates to every upper-level slab."""
-    U, N, nn, B = Fls.shape
+) -> Tuple[Tuple[jax.Array, ...], Tuple[jax.Array, ...], Tuple[jax.Array, ...]]:
+    """Apply the level-``level`` Schur updates + separator write-back to
+    every upper-level slab in one HBM pass per slab.
+
+    Returns the updated ``(Fls, Fxs, Fus)`` tuples (inputs are donated)."""
+    nn, N, B = FLl.shape
     mn = m * n
+    U = len(Fls)
     span = 1 << (level + 1)
     tk = min(tk, N)
-    if span > tk and span % tk != 0:
-        raise ValueError(f"span {span} not compatible with tile {tk}")
     gd = max(tk // span, 1)
     tb = min(tb, B)
     if N % tk or B % tb:
         raise ValueError(f"N={N} B={B} not divisible by tiles ({tk},{tb})")
 
-    grid = (N // tk, B // tb, U)
-    in_specs = [
-        pl.BlockSpec((tk, nn, tb), lambda i, j, u: (i, 0, j)),
-        pl.BlockSpec((tk, nn, tb), lambda i, j, u: (i, 0, j)),
-        pl.BlockSpec((tk, mn, tb), lambda i, j, u: (i, 0, j)),
-        pl.BlockSpec((1, tk, nn, tb), lambda i, j, u: (u, i, 0, j)),
-        pl.BlockSpec((1, tk, nn, tb), lambda i, j, u: (u, i, 0, j)),
-        pl.BlockSpec((1, tk, mn, tb), lambda i, j, u: (u, i, 0, j)),
-        pl.BlockSpec(
-            (1, gd, nn, tb),
-            lambda i, j, u: (u, (i * tk) // (span * gd), 0, j),
-        ),
-    ]
-    out_specs = [
-        pl.BlockSpec((1, tk, nn, tb), lambda i, j, u: (u, i, 0, j)),
-        pl.BlockSpec((1, tk, nn, tb), lambda i, j, u: (u, i, 0, j)),
-        pl.BlockSpec((1, tk, mn, tb), lambda i, j, u: (u, i, 0, j)),
-    ]
-    kernel = functools.partial(
-        _kernel, n=n, m=m, level=level, tk=tk, span=span, gd=gd
+    grid = (N // tk, B // tb)
+    slab_spec = lambda e: pl.BlockSpec((e, tk, tb), lambda i, j: (0, i, j))
+    f_spec = pl.BlockSpec(
+        (gd, nn, tb), lambda i, j: ((i * tk) // (span * gd), 0, j)
     )
-    return pl.pallas_call(
+    in_specs = (
+        [slab_spec(nn), slab_spec(nn), slab_spec(mn)]
+        + [slab_spec(nn)] * U
+        + [slab_spec(nn)] * U
+        + [slab_spec(mn)] * U
+        + [f_spec] * U
+    )
+    out_specs = [slab_spec(nn)] * U + [slab_spec(nn)] * U + [slab_spec(mn)] * U
+    out_shape = (
+        [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in Fls]
+        + [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in Fxs]
+        + [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in Fus]
+    )
+    aliases = {}
+    for k in range(U):
+        aliases[3 + k] = k               # Fl_u -> ol_u
+        aliases[3 + U + k] = U + k       # Fx_u -> ox_u
+        aliases[3 + 2 * U + k] = 2 * U + k
+    kernel = functools.partial(
+        _kernel, n=n, m=m, level=level, tk=tk, tb=tb, span=span, U=U, gd=gd
+    )
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
-        out_shape=[
-            jax.ShapeDtypeStruct(Fls.shape, Fls.dtype),
-            jax.ShapeDtypeStruct(Fxs.shape, Fxs.dtype),
-            jax.ShapeDtypeStruct(Fus.shape, Fus.dtype),
-        ],
-        input_output_aliases={3: 0, 4: 1, 5: 2},
+        out_shape=out_shape,
+        input_output_aliases=aliases,
         interpret=interpret,
-    )(FLl, FLx, FLu, Fls, Fxs, Fus, fsol)
+    )(FLl, FLx, FLu, *Fls, *Fxs, *Fus, *fsol)
+    return tuple(outs[:U]), tuple(outs[U : 2 * U]), tuple(outs[2 * U :])

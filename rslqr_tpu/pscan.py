@@ -153,7 +153,7 @@ def _interleave(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.stack([a, b], axis=1).reshape((-1,) + a.shape[1:])
 
 
-def _suffix_pj(elems, nb: int) -> Tuple[jax.Array, jax.Array]:
+def _suffix_pj(elems, nb: int, seed=None) -> Tuple[jax.Array, jax.Array]:
     """All-suffix reductions of value elements, returning only ``(eta, J)``.
 
     Hand-rolled odd-even (Brent–Kung) suffix scan replacing
@@ -161,13 +161,20 @@ def _suffix_pj(elems, nb: int) -> Tuple[jax.Array, jax.Array]:
     combines, N-1 total) is identical, but the down-sweep (~N combines)
     uses :func:`_combine_reduced` because every down-sweep result is final —
     ~25% fewer flops and ~2.5x less write traffic on that half of the scan.
+
+    ``seed``: optional ``(eta [1, n, *b], J [1, n, n, *b])`` cost-to-go pair
+    appended after the last element, i.e. S_k = reduce(e_k..e_{L-1}, seed).
+    Used by the horizon-sharded solver (rslqr_tpu.parallel.pscan_seq), where
+    the seed is the combined suffix of all chunks to the right.
     """
     L = elems[0].shape[0]
     if L == 1:
-        return elems[3], elems[4]
+        if seed is None:
+            return elems[3], elems[4]
+        return _combine_reduced(elems, seed, nb)
     if L % 2 == 1:
         # Peel the first element: S_0 = combine(e_0, S_1).
-        eta_r, J_r = _suffix_pj(_tree_slice(elems, slice(1, None)), nb)
+        eta_r, J_r = _suffix_pj(_tree_slice(elems, slice(1, None)), nb, seed)
         e0 = _tree_slice(elems, slice(0, 1))
         eta0, J0 = _combine_reduced(e0, (eta_r[:1], J_r[:1]), nb)
         return (
@@ -177,17 +184,47 @@ def _suffix_pj(elems, nb: int) -> Tuple[jax.Array, jax.Array]:
     e_even = _tree_slice(elems, slice(0, None, 2))
     e_odd = _tree_slice(elems, slice(1, None, 2))
     c = _combine(e_even, e_odd, nb)  # segment [2i, 2i+1], full elements
-    eta_p, J_p = _suffix_pj(c, nb)  # S_{2i} = suffix over pairs i..  (even outs)
-    # S_{2i+1} = combine(e_{2i+1}, S_{2i+2}) for i < L/2-1; S_{L-1} = e_{L-1}.
+    eta_p, J_p = _suffix_pj(c, nb, seed)  # S_{2i} over pairs i.. (even outs)
+    # S_{2i+1} = combine(e_{2i+1}, S_{2i+2}) for i < L/2-1;
+    # S_{L-1} = e_{L-1} (+ seed).
+    e_last = _tree_slice(e_odd, slice(-1, None))
+    if seed is None:
+        eta_last, J_last = e_last[3], e_last[4]
+    else:
+        eta_last, J_last = _combine_reduced(e_last, seed, nb)
     if L > 2:
         eta_o, J_o = _combine_reduced(
             _tree_slice(e_odd, slice(0, -1)), (eta_p[1:], J_p[1:]), nb
         )
-        eta_odd = jnp.concatenate([eta_o, e_odd[3][-1:]], axis=0)
-        J_odd = jnp.concatenate([J_o, e_odd[4][-1:]], axis=0)
+        eta_odd = jnp.concatenate([eta_o, eta_last], axis=0)
+        J_odd = jnp.concatenate([J_o, J_last], axis=0)
     else:
-        eta_odd, J_odd = e_odd[3], e_odd[4]
+        eta_odd, J_odd = eta_last, J_last
     return _interleave(eta_p, eta_odd), _interleave(J_p, J_odd)
+
+
+def _reduce_full(elems, nb: int):
+    """Reduce a whole element sequence to ONE full element (pairwise tree;
+    identical pair combines to the up-sweep of :func:`_suffix_pj`, so XLA
+    CSE dedupes them when both run in one program)."""
+    L = elems[0].shape[0]
+    while L > 1:
+        if L % 2 == 1:
+            head = _tree_slice(elems, slice(0, 1))
+            rest = _tree_slice(elems, slice(1, None))
+            rest_even = _tree_slice(rest, slice(0, None, 2))
+            rest_odd = _tree_slice(rest, slice(1, None, 2))
+            c = _combine(rest_even, rest_odd, nb)
+            e0c = _combine(head, _tree_slice(c, slice(0, 1)), nb)
+            elems = tuple(
+                jnp.concatenate([a, b[1:]], axis=0) for a, b in zip(e0c, c)
+            )
+        else:
+            e_even = _tree_slice(elems, slice(0, None, 2))
+            e_odd = _tree_slice(elems, slice(1, None, 2))
+            elems = _combine(e_even, e_odd, nb)
+        L = elems[0].shape[0]
+    return elems
 
 
 def _value_scan(prob_bl: LQRProblem, nb: int) -> Tuple[jax.Array, jax.Array]:
@@ -235,16 +272,23 @@ def _gains(prob_bl: LQRProblem, P, p, nb: int):
     Same per-step algebra as the serial backward pass (riccati_solve.c:50-93)
     but batched over the whole horizon since every P_{k+1} is already known.
     """
-    A, B = prob_bl.A[:-1], prob_bl.B[:-1]
-    Pn, pn = P[1:], p[1:]
+    return _gains_from(
+        prob_bl.A[:-1], prob_bl.B[:-1], prob_bl.Rdiag[:-1], prob_bl.r[:-1],
+        prob_bl.f[:-1], P[1:], p[1:], nb,
+    )
+
+
+def _gains_from(A, B, Rd, r, f, Pn, pn, nb: int):
+    """Gain algebra on explicit per-knot arrays (shared with the
+    horizon-sharded path, where ``Pn``/``pn`` cross a device boundary)."""
     Bt = la.transpose_block(B, nb)
     BtP = la.bgemm(Bt, Pn, nb)
     Quu = la.bgemm(BtP, B, nb)
     m = B.shape[-(nb + 1)]
     diag = (jnp.arange(m), jnp.arange(m))
-    Quu = Quu.at[(slice(None),) + diag].add(prob_bl.Rdiag[:-1])
+    Quu = Quu.at[(slice(None),) + diag].add(Rd)
     Qux = la.bgemm(BtP, A, nb)
-    Qu = prob_bl.r[:-1] + la.bgemv(Bt, la.bgemv(Pn, prob_bl.f[:-1], nb) + pn, nb)
+    Qu = r + la.bgemv(Bt, la.bgemv(Pn, f, nb) + pn, nb)
 
     Lc = la.bcholesky(Quu, nb)
     K = -la.bcho_solve(Lc, Qux, nb)

@@ -84,8 +84,31 @@ def solve_refined(
     pbl_hi = rslqr._to_batch_last(prob, nb)
     pbl_lo = pbl_hi.astype(solve_dtype)
 
-    fact, rhs_lo = rslqr._factorize_bl(pbl_lo, t, nb)
-    zy, zx, zu = rslqr._solve_rhs_bl(pbl_lo, fact, rhs_lo, t)
+    if rslqr._use_em_layout(prob):
+        # Element-major production path: factor once, re-solve per iteration
+        # through the EM RHS sweep (layout conversions touch vectors only).
+        from . import rslqr_em
+
+        A_lo, B_lo = rslqr_em._em(pbl_lo.A), rslqr_em._em(pbl_lo.B)
+        fact, rhs_em = rslqr_em.factorize_em(prob.astype(solve_dtype), t)
+
+        def resolve(rhs_bl):
+            zy, zx, zu = (rslqr_em._emv(v) for v in rhs_bl)
+            for level in range(t.depth):
+                zy, zx, zu = rslqr_em._rhs_level_em(
+                    A_lo, B_lo, level, fact.Fls[level], fact.Fxs[level],
+                    fact.Fus[level], fact.chols[level], zy, zx, zu, nb,
+                )
+            return tuple(rslqr_em._emv_bl(v) for v in (zy, zx, zu))
+
+        zy, zx, zu = resolve(tuple(rslqr_em._emv_bl(v) for v in rhs_em))
+    else:
+        fact, rhs_lo = rslqr._factorize_bl(pbl_lo, t, nb)
+        zy, zx, zu = rslqr._solve_rhs_bl(pbl_lo, fact, rhs_lo, t)
+
+        def resolve(rhs_bl):
+            return rslqr._solve_rhs_bl(pbl_lo, fact, rhs_bl, t)
+
     hi = prob.A.dtype
     Y, X, U = zy.astype(hi), zx.astype(hi), zu.astype(hi)
 
@@ -98,7 +121,7 @@ def solve_refined(
         r_lo = rslqr._leaf_rhs_transform(
             pbl_lo, (ry.astype(solve_dtype), rx.astype(solve_dtype), ru.astype(solve_dtype)), nb
         )
-        dy, dx, du = rslqr._solve_rhs_bl(pbl_lo, fact, r_lo, t)
+        dy, dx, du = resolve(r_lo)
         Y = Y + dy.astype(hi)
         X = X + dx.astype(hi)
         U = U + du.astype(hi)

@@ -469,13 +469,34 @@ def leaf_solve_rhs(
     return _leaf_rhs_transform(pbl, (zy, -pbl.q, -pbl.r), nb)
 
 
+def _use_em_layout(prob: LQRProblem) -> bool:
+    """Layout dispatch: element-major for small blocks (see rslqr_em),
+    knot-major grids otherwise (config.layout overrides)."""
+    from .config import config
+
+    if config.layout == "em":
+        return True
+    if config.layout == "grid":
+        return False
+    thr = config.mxu_block_threshold
+    return prob.A.shape[-2] <= thr and prob.B.shape[-1] <= thr
+
+
 def solve(prob: LQRProblem, tables: Optional[TreeTables] = None) -> RsLqrSolution:
     """Full rsLQR solve (ref ndlqr_Solve, solve.c:38-190).
 
     Accepts a single problem or a natively-batched one (leading batch axes).
     Prefer passing the batch here over ``jax.vmap(solve)``: the internal
-    batch-last layout keeps the instance axis on the TPU lane dimension.
+    layouts keep the instance axis on the TPU lane dimension. Small-block
+    problems run the element-major path (rslqr_em, the production TPU
+    layout); large blocks run the knot-major MXU path. ``.fact`` is the
+    corresponding factorization pytree (both work with solve diagnostics
+    and the multi-RHS solvers of their module).
     """
+    if _use_em_layout(prob):
+        from . import rslqr_em
+
+        return rslqr_em.solve_em(prob, tables)
     nb = _num_batch_axes(prob)
     pbl = _to_batch_last(prob, nb)
     t = tables or build_tree_tables(pbl.A.shape[0])

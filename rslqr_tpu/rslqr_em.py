@@ -1,0 +1,408 @@
+"""Element-major rsLQR solve — the production TPU path for small blocks.
+
+Same algorithm as :mod:`rslqr_tpu.rslqr` (recursive Schur complement over the
+knot-point tree, ref solve.c:38-190), with the factor slabs re-laid-out from
+knot-major ``[N, p, q, *b]`` to element-major ``[p, q, N, *b]``: block dims
+LEADING, the (knot x batch) plane MINOR.
+
+Why: the TPU f32 memory tile is (8 sublanes, 128 lanes) over the two minor
+axes. Knot-major puts the tiny block dim (n=6) on sublanes, so every
+per-element slice the unrolled Cholesky/substitution kernels take reads 6/8
+sublanes of strided sub-tiles, and the (knot-broadcast) Schur multiplier
+lives in a padded layout. Element-major moves all block indexing onto MAJOR
+axes — free slices — and every lane op runs on dense ``[N, B]`` tiles at
+full sublane/lane occupancy. This is the same inversion the reference's
+AVX2 micro-kernels apply (matmul.c:84-574: unroll the tiny block, vectorize
+the long axis), applied to the (knot x batch) plane instead of one block.
+
+Mechanically the layout change is free: the batched kernels in
+:mod:`rslqr_tpu.linalg` take the number of trailing batch axes as a
+parameter, so element-major is exactly "treat the knot axis as one more
+batch axis" (``nbatch + 1``). No new numerics — correctness is pinned to
+the grid path (itself pinned to the reference's golden intermediate
+factors) by tests/test_rslqr_em.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import linalg as la
+from .problem import LQRProblem, pack_solution
+from .rslqr import RsLqrSolution, _bf, _lambda_mask, _to_batch_last
+from .tree import TreeTables, build_tree_tables
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EmFactorization:
+    """Element-major factorization state (NdLqrCholeskyFactors analogue,
+    cholesky_factors.h:30-35, plus the final factor slabs).
+
+    ``Fls``/``Fxs``/``Fus``: tuple over levels of ``[{n,n,m}, n, N, *b]``
+    post-sweep factor slabs, consumed by the cached RHS sweep.
+    ``chols``: tuple over levels of ``[n, n, G_level, *b]`` Cholesky factors.
+    """
+
+    Fls: Tuple
+    Fxs: Tuple
+    Fus: Tuple
+    chols: Tuple
+    nbatch: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+
+def _em(x: jax.Array) -> jax.Array:
+    """Batch-last blocks ``[N, p, q, *b]`` -> element-major ``[p, q, N, *b]``."""
+    return jnp.moveaxis(x, 0, 2)
+
+
+def _emv(x: jax.Array) -> jax.Array:
+    """Batch-last block vectors ``[N, p, *b]`` -> element-major ``[p, N, *b]``."""
+    return jnp.moveaxis(x, 0, 1)
+
+
+def _emv_bl(x: jax.Array) -> jax.Array:
+    return jnp.moveaxis(x, 1, 0)
+
+
+def _gk(x: jax.Array, span: int, nb: int) -> jax.Array:
+    """Group the knot axis (at position ``-(nb+1)``): ``[..., N, *b] ->
+    [..., G, span, *b]`` — a free reshape; all level indexing is then static
+    slices of the span axis (see rslqr._group)."""
+    k = x.ndim - nb - 1
+    return x.reshape(x.shape[:k] + (x.shape[k] // span, span) + x.shape[k + 1:])
+
+
+def _ugk(x: jax.Array, nb: int) -> jax.Array:
+    k = x.ndim - nb - 2
+    return x.reshape(x.shape[:k] + (x.shape[k] * x.shape[k + 1],) + x.shape[k + 2:])
+
+
+def _sel(x: jax.Array, idx: int, nb: int) -> jax.Array:
+    """Select one span position: ``[..., G, span, *b] -> [..., G, *b]``."""
+    return x[(Ellipsis, idx) + (slice(None),) * nb]
+
+
+def _kmask(sel: np.ndarray, lead: int, nb: int) -> jax.Array:
+    """Static bool over knots/groups -> broadcastable with ``lead`` leading
+    block axes and ``nb`` trailing batch axes."""
+    return jnp.asarray(sel.reshape((1,) * lead + sel.shape + (1,) * nb))
+
+
+def _leaf_em(pbl: LQRProblem, levels: np.ndarray, depth: int, nb: int):
+    """Phase 1 (ref nested_dissection.c:10-105) in element-major layout.
+
+    Every knot-indexed scatter of the grid path (rslqr._leaf_solve) becomes
+    a static-mask ``where`` over dense ``[N, *b]`` planes.
+    """
+    N, n = pbl.A.shape[0], pbl.A.shape[1]
+    m = pbl.B.shape[2]
+    dtype = pbl.A.dtype
+    b_shape = pbl.A.shape[3:]
+
+    A = _em(pbl.A)  # [n, n, N, *b]
+    B = _em(pbl.B)  # [n, m, N, *b]
+    At = jnp.swapaxes(A, 0, 1)
+    Bt = jnp.swapaxes(B, 0, 1)  # [m, n, N, *b]
+    q_ = _emv(pbl.q)  # [n, N, *b]
+    r_ = _emv(pbl.r)
+    f_ = _emv(pbl.f)
+    Qd = _emv(pbl.Qdiag)
+    Rd = _emv(pbl.Rdiag)
+    qinv, rinv = 1.0 / Qd, 1.0 / Rd
+
+    QiAt = At * qinv[:, None]  # row i scaled by 1/Q_i
+    RiBt = Bt * rinv[:, None]
+
+    ks = np.arange(N)
+    knot0 = ks == 0
+    own = [  # knots 1 <= k < N-1 whose own-dynamics blocks live at level L
+        (levels[np.minimum(ks, N - 2)] == L) & (ks >= 1) & (ks < N - 1)
+        for L in range(depth)
+    ]
+    prev = [  # knots k >= 1 whose previous-step block lives at level(k-1)
+        np.concatenate([[False], levels == L]) for L in range(depth)
+    ]
+
+    eye = jnp.eye(n, dtype=dtype).reshape((n, n, 1) + (1,) * nb)
+    Fls: List[jax.Array] = []
+    Fxs: List[jax.Array] = []
+    Fus: List[jax.Array] = []
+    for L in range(depth):
+        mo = _kmask(own[L], 2, nb)
+        mp = _kmask(prev[L], 2, nb)
+        # F[L, k].state = Q_k^{-1} A_k' (own) or -Q_k^{-1} I (prev)
+        # (ref nested_dissection.c:81-102).
+        Fxs.append(
+            jnp.where(mo, QiAt, 0.0) - jnp.where(mp, eye * qinv[None], 0.0)
+        )
+        if L == 0:
+            # Knot 0: F[0,0].input = R_0^{-1} B_0', F[0,0].lambda = -A_0'
+            # (ref nested_dissection.c:24-58).
+            Fus.append(jnp.where(_kmask(own[L] | knot0, 2, nb), RiBt, 0.0))
+            Fls.append(jnp.where(_kmask(knot0, 2, nb), -At, 0.0))
+        else:
+            Fus.append(jnp.where(mo, RiBt, 0.0))
+            Fls.append(jnp.zeros((n, n, N) + b_shape, dtype))
+
+    # --- negated, leaf-transformed RHS (ref solver.c:187-190 +
+    # nested_dissection.c:42-90; see rslqr._leaf_rhs_transform).
+    m0 = _kmask(knot0, 1, nb)
+    mlast = _kmask(ks == N - 1, 1, nb)
+    zy0 = jnp.concatenate(
+        [-pbl.x0[:, None], -f_[:, :-1]], axis=1
+    )  # [n, N, *b]: zy[k] = -f[k-1], zy[0] = -x0
+    zy = jnp.where(m0, -Qd[:, :1] * zy0 + q_, zy0)
+    zx = jnp.where(m0, -zy0, -q_ * qinv)
+    zu = jnp.where(mlast, -r_, -r_ * rinv)
+    return Fls, Fxs, Fus, A, B, zy, zx, zu
+
+
+def _sweep_level_em(A, B, level, depth, Fls, Fxs, Fus, n, m, nb):
+    """One level of the factorization sweep (ref solve.c:68-134) in
+    element-major layout; mutates the slab lists, returns the level's
+    Cholesky factors ``[n, n, G, *b]``.
+
+    Same four phases as rslqr._sweep_level_core; all linalg runs through the
+    small-block kernels with the knot axis as an extra batch axis.
+    """
+    span = 1 << (level + 1)
+    mid = (1 << level) - 1
+    N = A.shape[2]
+    G = N // span
+    nk = nb + 1  # trailing batch axes including the knot/group axis
+
+    A_sep = _sel(_gk(A, span, nb), mid, nb)  # [n, n, G, *b]
+    B_sep = _sel(_gk(B, span, nb), mid, nb)
+
+    Lc = None
+    fsols = {}
+    sepw = np.zeros((G, span), dtype=bool)
+    sepw[:, mid + 1] = True
+    ms = _kmask(sepw, 2, nb)
+    for u in range(level, depth):
+        gl = _gk(Fls[u], span, nb)
+        gx = _gk(Fxs[u], span, nb)
+        gu = _gk(Fus[u], span, nb)
+        S = (
+            la.bgemm(A_sep, _sel(gx, mid, nb), nk)
+            + la.bgemm(B_sep, _sel(gu, mid, nb), nk)
+            - _sel(gx, mid + 1, nb)
+            - _sel(gl, mid + 1, nb)
+        )
+        if u == level:
+            Lc = la.bcholesky(S, nk)
+            Snew = S
+            # Separator write-back (the u > level writes fuse into the Schur
+            # update below).
+            Fls[u] = _ugk(jnp.where(ms, jnp.expand_dims(Snew, -(nb + 1)), gl), nb)
+        else:
+            fsols[u] = la.bcho_solve(Lc, S, nk)
+
+    if level + 1 < depth:
+        mode = _pallas_schur_mode(A.dtype, nb, N, A.shape[3:])
+        if mode is not None:
+            _schur_pallas(level, depth, Fls, Fxs, Fus, fsols, n, m, mode)
+            return Lc
+        keep = _kmask(_lambda_mask(N, span, mid + 1), 2, nb)
+        FL_l = _gk(Fls[level], span, nb)
+        FL_x = _gk(Fxs[level], span, nb)
+        FL_u = _gk(Fus[level], span, nb)
+        for u in range(level + 1, depth):
+            f_u = jnp.expand_dims(fsols[u], -(nb + 1))  # [n, n, G, 1, *b]
+            upd_l = la.bgemm(FL_l, f_u, nk + 1)
+            Fls[u] = _ugk(
+                jnp.where(
+                    ms,
+                    f_u,
+                    _gk(Fls[u], span, nb) - jnp.where(keep, upd_l, 0.0),
+                ),
+                nb,
+            )
+            Fxs[u] = _ugk(
+                _gk(Fxs[u], span, nb) - la.bgemm(FL_x, f_u, nk + 1), nb
+            )
+            Fus[u] = _ugk(
+                _gk(Fus[u], span, nb) - la.bgemm(FL_u, f_u, nk + 1), nb
+            )
+    return Lc
+
+
+def _pallas_schur_mode(dtype, nb: int, N: int, b_shape) -> Optional[bool]:
+    """Resolve the Schur-kernel dispatch: True = interpret, False = compiled,
+    None = XLA stage. See config.pallas."""
+    from .config import config
+
+    mode = config.pallas
+    if mode == "off":
+        return None
+    # Applicability: one flattened batch axis, knot axis tileable.
+    if nb != 1 or N < 8 or N % 8:
+        return None
+    B = b_shape[0]
+    if B % min(128, B):
+        return None
+    if mode == "interpret":
+        return True
+    if mode == "on":
+        return False
+    return False if jax.default_backend() == "tpu" and dtype == jnp.float32 else None
+
+
+def _schur_pallas(level, depth, Fls, Fxs, Fus, fsols, n, m, interpret):
+    """Run the fused Pallas Schur stage (ops/schur_pallas.py) in place of the
+    XLA update loop. Slabs are [n, n, N, B] -> flattened [nn, N, B] views."""
+    from .ops.schur_pallas import schur_update_level_em
+
+    N, B = Fls[level].shape[2], Fls[level].shape[3]
+    nn, mn = n * n, m * n
+    us = list(range(level + 1, depth))
+    ol, ox, ou = schur_update_level_em(
+        Fls[level].reshape(nn, N, B),
+        Fxs[level].reshape(nn, N, B),
+        Fus[level].reshape(mn, N, B),
+        [Fls[u].reshape(nn, N, B) for u in us],
+        [Fxs[u].reshape(nn, N, B) for u in us],
+        [Fus[u].reshape(mn, N, B) for u in us],
+        # fsol goes group-major [G, nn, B] (see kernel block constraints).
+        [jnp.moveaxis(fsols[u].reshape(nn, -1, B), 0, 1) for u in us],
+        level=level,
+        n=n,
+        m=m,
+        interpret=interpret,
+    )
+    for i, u in enumerate(us):
+        Fls[u] = ol[i].reshape(n, n, N, B)
+        Fxs[u] = ox[i].reshape(n, n, N, B)
+        Fus[u] = ou[i].reshape(m, n, N, B)
+
+
+def _rhs_level_em(A, B, level, Fl, Fx, Fu, Lc, zy, zx, zu, nb):
+    """One level of the RHS sweep (ref solve.c:137-182), element-major.
+
+    Vectors are ``[n|m, N, *b]``; returns updated ``(zy, zx, zu)``.
+    """
+    span = 1 << (level + 1)
+    mid = (1 << level) - 1
+    N = zy.shape[1]
+    G = N // span
+    nk = nb + 1
+
+    A_sep = _sel(_gk(A, span, nb), mid, nb)
+    B_sep = _sel(_gk(B, span, nb), mid, nb)
+    gy = _gk(zy, span, nb)
+    gx = _gk(zx, span, nb)
+    gu = _gk(zu, span, nb)
+
+    znew = (
+        la.bgemv(A_sep, _sel(gx, mid, nb), nk)
+        + la.bgemv(B_sep, _sel(gu, mid, nb), nk)
+        - _sel(gx, mid + 1, nb)
+        - _sel(gy, mid + 1, nb)
+    )
+    zbar = la.bcho_solve_vec(Lc, znew, nk)  # [n, G, *b]
+
+    sepw = np.zeros((G, span), dtype=bool)
+    sepw[:, mid + 1] = True
+    ms = _kmask(sepw, 1, nb)
+    keep = _kmask(_lambda_mask(N, span, mid + 1), 1, nb)
+    f_b = jnp.expand_dims(zbar, -(nb + 1))  # [n, G, 1, *b]
+    upd_y = la.bgemv(_gk(Fl, span, nb), f_b, nk + 1)
+    upd_x = la.bgemv(_gk(Fx, span, nb), f_b, nk + 1)
+    upd_u = la.bgemv(_gk(Fu, span, nb), f_b, nk + 1)
+    zy = _ugk(jnp.where(ms, f_b, gy - jnp.where(keep, upd_y, 0.0)), nb)
+    zx = _ugk(gx - upd_x, nb)
+    zu = _ugk(gu - upd_u, nb)
+    return zy, zx, zu
+
+
+def _num_batch_axes(prob: LQRProblem) -> int:
+    return prob.A.ndim - 3
+
+
+def factorize_em(
+    prob: LQRProblem, tables: Optional[TreeTables] = None
+) -> Tuple[EmFactorization, Tuple]:
+    """Leaf solves + level sweep (ref solve.c:50-134), element-major.
+
+    Accepts leading-batch problems like :func:`rslqr_tpu.rslqr.factorize`.
+    Returns the factorization and the leaf-solved element-major RHS
+    ``(zy, zx, zu)`` (each ``[n|m, N, *b]``).
+    """
+    nb = _num_batch_axes(prob)
+    pbl = _to_batch_last(prob, nb)
+    t = tables or build_tree_tables(pbl.A.shape[0])
+    n, m = pbl.A.shape[1], pbl.B.shape[2]
+    Fls, Fxs, Fus, A, B, zy, zx, zu = _leaf_em(pbl, t.levels, t.depth, nb)
+    chols = []
+    for level in range(t.depth):
+        chols.append(_sweep_level_em(A, B, level, t.depth, Fls, Fxs, Fus, n, m, nb))
+    fact = EmFactorization(
+        Fls=tuple(Fls), Fxs=tuple(Fxs), Fus=tuple(Fus), chols=tuple(chols),
+        nbatch=nb,
+    )
+    return fact, (zy, zx, zu)
+
+
+def solve_rhs_em(
+    prob: LQRProblem,
+    fact: EmFactorization,
+    rhs: Tuple,
+    tables: Optional[TreeTables] = None,
+) -> RsLqrSolution:
+    """Cached-factorization RHS solve (ref solve.c:137-182), element-major.
+
+    ``rhs`` is the leaf-solved element-major RHS as returned by
+    :func:`factorize_em` (or :func:`leaf_rhs_em` for fresh right-hand
+    sides — the multi-RHS mode the reference hints at, nddata.h:72-75).
+    """
+    nb = fact.nbatch
+    pbl = _to_batch_last(prob, _num_batch_axes(prob))
+    t = tables or build_tree_tables(pbl.A.shape[0])
+    A, B = _em(pbl.A), _em(pbl.B)
+    zy, zx, zu = rhs
+    for level in range(t.depth):
+        zy, zx, zu = _rhs_level_em(
+            A, B, level, fact.Fls[level], fact.Fxs[level], fact.Fus[level],
+            fact.chols[level], zy, zx, zu, nb,
+        )
+    Y, X, U = _emv_bl(zy), _emv_bl(zx), _emv_bl(zu)
+    return RsLqrSolution(
+        Y=_bf(Y, nb), X=_bf(X, nb), U=_bf(U[:-1], nb), fact=fact
+    )
+
+
+def leaf_rhs_em(prob: LQRProblem) -> Tuple:
+    """Leaf-solve a fresh RHS into element-major planes (multi-RHS mode /
+    iterative refinement; the z-vector half of ndlqr_SolveLeaf,
+    nested_dissection.c:42-90)."""
+    nb = _num_batch_axes(prob)
+    pbl = _to_batch_last(prob, nb)
+    t = build_tree_tables(pbl.A.shape[0])
+    *_, zy, zx, zu = _leaf_em(pbl, t.levels, t.depth, nb)
+    return zy, zx, zu
+
+
+def em_rhs_from_bl(rhs: Tuple) -> Tuple:
+    """Convert a batch-last leaf-solved RHS (rslqr layout) to element-major."""
+    zy, zx, zu = rhs
+    return _emv(zy), _emv(zx), _emv(zu)
+
+
+def solve_em(prob: LQRProblem, tables: Optional[TreeTables] = None) -> RsLqrSolution:
+    """Full rsLQR solve, element-major (ref ndlqr_Solve, solve.c:38-190)."""
+    nb = _num_batch_axes(prob)
+    t = tables or build_tree_tables(prob.A.shape[-3])
+    fact, rhs = factorize_em(prob, t)
+    return solve_rhs_em(prob, fact, rhs, t)
+
+
+def solve_kkt_em(prob: LQRProblem) -> jax.Array:
+    """Solve and return the flat KKT vector(s) ``[*b, nvars]``."""
+    sol = solve_em(prob)
+    return pack_solution(sol.Y, sol.X, sol.U)

@@ -16,6 +16,10 @@ setup(
             sources=["csrc/rslqr_native.cpp"],
             extra_compile_args=["-O3", "-std=c++17", "-Wall"],
             language="c++",
+            # Installs proceed without a C++ toolchain (pure-Python fallback
+            # in rslqr_tpu/native.py) — the reference's "internal routines
+            # by default, faster backends when available" stance.
+            optional=True,
         )
     ],
 )
