@@ -25,6 +25,12 @@ written once per level). The kernel enforces exactly one HBM pass:
   and the calc_lambda mask (knots that are multiples of 2^L skip the lambda
   update, except knot 0 — nested_dissection.c:173-177) fuse into the same
   single write per output element.
+* **Next-level separator extracts**: when the tile covers whole next-level
+  groups, the kernel additionally emits the four compact separator arrays
+  the NEXT level's inner products read (x@sep, x@sep+1, lambda@sep+1,
+  input@sep — ndlqr_FactorInnerProduct, nested_dissection.c:114-134).
+  Without them the products stage re-reads the full slabs with a stride,
+  which on (8,128) tiles costs near-full-slab traffic per upper level.
 * In/out aliasing: each upper slab is updated in place (no extra buffers).
 
 The tiny block matmul unrolls to VPU lane math; the solved separator blocks
@@ -34,7 +40,7 @@ The tiny block matmul unrolls to VPU lane math; the solved separator blocks
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,16 +48,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(*refs, n, m, level, tk, tb, span, U, gd):
+def _kernel(*refs, n, m, level, tk, tb, span, U, gd, gd2):
     nn, mn = n * n, m * n
+    emit = gd2 > 0
     fll, flx, flu = refs[0:3]
     fls = refs[3 : 3 + U]
     fxs = refs[3 + U : 3 + 2 * U]
     fus = refs[3 + 2 * U : 3 + 3 * U]
     fss = refs[3 + 3 * U : 3 + 4 * U]
-    ols = refs[3 + 4 * U : 3 + 5 * U]
-    oxs = refs[3 + 5 * U : 3 + 6 * U]
-    ous = refs[3 + 6 * U :]
+    outs = refs[3 + 4 * U :]
+    ols, oxs, ous = outs[0:U], outs[U : 2 * U], outs[2 * U : 3 * U]
+    if emit:
+        oxm = outs[3 * U : 4 * U]  # x @ next sep
+        oxn = outs[4 * U : 5 * U]  # x @ next sep+1
+        oln = outs[5 * U : 6 * U]  # lambda @ next sep+1
+        oum = outs[6 * U : 7 * U]  # input @ next sep
 
     i = pl.program_id(0)
     halfspan = 1 << level
@@ -97,16 +108,27 @@ def _kernel(*refs, n, m, level, tk, tb, span, U, gd):
         ux = mm(flx, n)
         uu = mm(flu, m)
         for e in range(nn):
-            ols[u][e] = jnp.where(
-                sep, fpl[e], fls[u][e] - jnp.where(keep, ul[e], zero)
-            )
-            oxs[u][e] = fxs[u][e] - ux[e]
+            vl = jnp.where(sep, fpl[e], fls[u][e] - jnp.where(keep, ul[e], zero))
+            vx = fxs[u][e] - ux[e]
+            ols[u][e] = vl
+            oxs[u][e] = vx
+            if emit:
+                for g2 in range(gd2):
+                    r = g2 * 2 * span + span - 1  # next level's separator
+                    oxm[u][g2, e] = vx[r]
+                    oxn[u][g2, e] = vx[r + 1]
+                    oln[u][g2, e] = vl[r + 1]
         for e in range(mn):
-            ous[u][e] = fus[u][e] - uu[e]
+            vu = fus[u][e] - uu[e]
+            ous[u][e] = vu
+            if emit:
+                for g2 in range(gd2):
+                    r = g2 * 2 * span + span - 1
+                    oum[u][g2, e] = vu[r]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("level", "n", "m", "interpret", "tk", "tb")
+    jax.jit, static_argnames=("level", "n", "m", "interpret", "tb")
 )
 def schur_update_level_em(
     FLl: jax.Array,            # [nn, N, B] level-L lambda multiplier slab
@@ -123,19 +145,25 @@ def schur_update_level_em(
     n: int,
     m: int,
     interpret: bool = False,
-    tk: int = 8,
     tb: int = 128,
-) -> Tuple[Tuple[jax.Array, ...], Tuple[jax.Array, ...], Tuple[jax.Array, ...]]:
+):
     """Apply the level-``level`` Schur updates + separator write-back to
     every upper-level slab in one HBM pass per slab.
 
-    Returns the updated ``(Fls, Fxs, Fus)`` tuples (inputs are donated)."""
+    Returns ``(Fls, Fxs, Fus, extracts)`` with inputs donated. ``extracts``
+    is ``None`` when the next level's span exceeds the knot tile; otherwise
+    a tuple ``(xm, xn, ln, um)`` of per-u lists of group-major
+    ``[G_next, nn|mn, B]`` arrays: the updated slab values at the next
+    level's separator / separator+1 knots."""
     nn, N, B = FLl.shape
     mn = m * n
     U = len(Fls)
     span = 1 << (level + 1)
-    tk = min(tk, N)
+    # Tile the knot axis to cover whole next-level groups where VMEM allows,
+    # so the kernel can emit the compact separator extracts.
+    tk = min(max(2 * span, 8), 16, N)
     gd = max(tk // span, 1)
+    gd2 = tk // (2 * span) if 2 * span <= tk and N >= 2 * span else 0
     tb = min(tb, B)
     if N % tk or B % tb:
         raise ValueError(f"N={N} B={B} not divisible by tiles ({tk},{tb})")
@@ -145,6 +173,7 @@ def schur_update_level_em(
     f_spec = pl.BlockSpec(
         (gd, nn, tb), lambda i, j: ((i * tk) // (span * gd), 0, j)
     )
+    ex_spec = lambda e: pl.BlockSpec((gd2, e, tb), lambda i, j: (i, 0, j))
     in_specs = (
         [slab_spec(nn), slab_spec(nn), slab_spec(mn)]
         + [slab_spec(nn)] * U
@@ -158,13 +187,20 @@ def schur_update_level_em(
         + [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in Fxs]
         + [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in Fus]
     )
+    if gd2:
+        G2 = N // (2 * span)
+        dt = FLl.dtype
+        for width in (nn, nn, nn, mn):
+            out_specs += [ex_spec(width)] * U
+            out_shape += [jax.ShapeDtypeStruct((G2, width, B), dt)] * U
     aliases = {}
     for k in range(U):
         aliases[3 + k] = k               # Fl_u -> ol_u
         aliases[3 + U + k] = U + k       # Fx_u -> ox_u
         aliases[3 + 2 * U + k] = 2 * U + k
     kernel = functools.partial(
-        _kernel, n=n, m=m, level=level, tk=tk, tb=tb, span=span, U=U, gd=gd
+        _kernel, n=n, m=m, level=level, tk=tk, tb=tb, span=span, U=U,
+        gd=gd, gd2=gd2,
     )
     outs = pl.pallas_call(
         kernel,
@@ -174,5 +210,16 @@ def schur_update_level_em(
         out_shape=out_shape,
         input_output_aliases=aliases,
         interpret=interpret,
+        # The U=5 (level-2, tk=16) configuration needs ~17MB of pipelined
+        # blocks — just over the 16MB default scoped budget.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ),
     )(FLl, FLx, FLu, *Fls, *Fxs, *Fus, *fsol)
-    return tuple(outs[:U]), tuple(outs[U : 2 * U]), tuple(outs[2 * U :])
+    slabs = tuple(outs[:U]), tuple(outs[U : 2 * U]), tuple(outs[2 * U : 3 * U])
+    if not gd2:
+        return slabs + (None,)
+    ex = tuple(
+        tuple(outs[(3 + w) * U : (4 + w) * U]) for w in range(4)
+    )  # (xm, xn, ln, um), each a per-u tuple
+    return slabs + (ex,)

@@ -5,3 +5,5 @@ from .mesh import (
     shard_problem_batch,
     solve_batch_sharded,
 )
+from .seq import solve_seq_sharded
+from .pscan_seq import solve_pscan_sharded

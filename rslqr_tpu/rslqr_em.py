@@ -163,13 +163,22 @@ def _leaf_em(pbl: LQRProblem, levels: np.ndarray, depth: int, nb: int):
     return Fls, Fxs, Fus, A, B, zy, zx, zu
 
 
-def _sweep_level_em(A, B, level, depth, Fls, Fxs, Fus, n, m, nb):
+def _em_from_gm(x: jax.Array, p: int, q: int) -> jax.Array:
+    """Group-major kernel extract ``[G, p*q, B]`` -> ``[p, q, G, B]``."""
+    G, _, B = x.shape
+    return jnp.moveaxis(x, 0, 1).reshape(p, q, G, B)
+
+
+def _sweep_level_em(A, B, level, depth, Fls, Fxs, Fus, n, m, nb, ex=None):
     """One level of the factorization sweep (ref solve.c:68-134) in
     element-major layout; mutates the slab lists, returns the level's
-    Cholesky factors ``[n, n, G, *b]``.
+    Cholesky factors ``[n, n, G, *b]`` and the next level's separator
+    extracts (or None).
 
     Same four phases as rslqr._sweep_level_core; all linalg runs through the
-    small-block kernels with the knot axis as an extra batch axis.
+    small-block kernels with the knot axis as an extra batch axis. The inner
+    products read either the compact extracts emitted by the previous
+    level's Pallas kernel (``ex``) or strided slab slices.
     """
     span = 1 << (level + 1)
     mid = (1 << level) - 1
@@ -186,20 +195,32 @@ def _sweep_level_em(A, B, level, depth, Fls, Fxs, Fus, n, m, nb):
     sepw[:, mid + 1] = True
     ms = _kmask(sepw, 2, nb)
     for u in range(level, depth):
-        gl = _gk(Fls[u], span, nb)
-        gx = _gk(Fxs[u], span, nb)
-        gu = _gk(Fus[u], span, nb)
-        S = (
-            la.bgemm(A_sep, _sel(gx, mid, nb), nk)
-            + la.bgemm(B_sep, _sel(gu, mid, nb), nk)
-            - _sel(gx, mid + 1, nb)
-            - _sel(gl, mid + 1, nb)
-        )
+        if ex is not None:
+            # Compact separator reads (Pallas extracts from the previous
+            # level) — avoids strided near-full-slab re-reads.
+            xm, xn, ln, um = (e[u - level] for e in ex)
+            S = (
+                la.bgemm(A_sep, _em_from_gm(xm, n, n), nk)
+                + la.bgemm(B_sep, _em_from_gm(um, m, n), nk)
+                - _em_from_gm(xn, n, n)
+                - _em_from_gm(ln, n, n)
+            )
+        else:
+            gl = _gk(Fls[u], span, nb)
+            gx = _gk(Fxs[u], span, nb)
+            gu = _gk(Fus[u], span, nb)
+            S = (
+                la.bgemm(A_sep, _sel(gx, mid, nb), nk)
+                + la.bgemm(B_sep, _sel(gu, mid, nb), nk)
+                - _sel(gx, mid + 1, nb)
+                - _sel(gl, mid + 1, nb)
+            )
         if u == level:
             Lc = la.bcholesky(S, nk)
             Snew = S
             # Separator write-back (the u > level writes fuse into the Schur
             # update below).
+            gl = _gk(Fls[u], span, nb)
             Fls[u] = _ugk(jnp.where(ms, jnp.expand_dims(Snew, -(nb + 1)), gl), nb)
         else:
             fsols[u] = la.bcho_solve(Lc, S, nk)
@@ -207,8 +228,10 @@ def _sweep_level_em(A, B, level, depth, Fls, Fxs, Fus, n, m, nb):
     if level + 1 < depth:
         mode = _pallas_schur_mode(A.dtype, nb, N, A.shape[3:])
         if mode is not None:
-            _schur_pallas(level, depth, Fls, Fxs, Fus, fsols, n, m, mode)
-            return Lc
+            ex_next = _schur_pallas(
+                level, depth, Fls, Fxs, Fus, fsols, n, m, mode
+            )
+            return Lc, ex_next
         keep = _kmask(_lambda_mask(N, span, mid + 1), 2, nb)
         FL_l = _gk(Fls[level], span, nb)
         FL_x = _gk(Fxs[level], span, nb)
@@ -230,7 +253,7 @@ def _sweep_level_em(A, B, level, depth, Fls, Fxs, Fus, n, m, nb):
             Fus[u] = _ugk(
                 _gk(Fus[u], span, nb) - la.bgemm(FL_u, f_u, nk + 1), nb
             )
-    return Lc
+    return Lc, None
 
 
 def _pallas_schur_mode(dtype, nb: int, N: int, b_shape) -> Optional[bool]:
@@ -256,13 +279,14 @@ def _pallas_schur_mode(dtype, nb: int, N: int, b_shape) -> Optional[bool]:
 
 def _schur_pallas(level, depth, Fls, Fxs, Fus, fsols, n, m, interpret):
     """Run the fused Pallas Schur stage (ops/schur_pallas.py) in place of the
-    XLA update loop. Slabs are [n, n, N, B] -> flattened [nn, N, B] views."""
+    XLA update loop. Slabs are [n, n, N, B] -> flattened [nn, N, B] views.
+    Returns the next level's separator extracts (or None)."""
     from .ops.schur_pallas import schur_update_level_em
 
     N, B = Fls[level].shape[2], Fls[level].shape[3]
     nn, mn = n * n, m * n
     us = list(range(level + 1, depth))
-    ol, ox, ou = schur_update_level_em(
+    ol, ox, ou, ex = schur_update_level_em(
         Fls[level].reshape(nn, N, B),
         Fxs[level].reshape(nn, N, B),
         Fus[level].reshape(mn, N, B),
@@ -280,6 +304,7 @@ def _schur_pallas(level, depth, Fls, Fxs, Fus, fsols, n, m, interpret):
         Fls[u] = ol[i].reshape(n, n, N, B)
         Fxs[u] = ox[i].reshape(n, n, N, B)
         Fus[u] = ou[i].reshape(m, n, N, B)
+    return ex
 
 
 def _rhs_level_em(A, B, level, Fl, Fx, Fu, Lc, zy, zx, zu, nb):
@@ -340,8 +365,12 @@ def factorize_em(
     n, m = pbl.A.shape[1], pbl.B.shape[2]
     Fls, Fxs, Fus, A, B, zy, zx, zu = _leaf_em(pbl, t.levels, t.depth, nb)
     chols = []
+    ex = None
     for level in range(t.depth):
-        chols.append(_sweep_level_em(A, B, level, t.depth, Fls, Fxs, Fus, n, m, nb))
+        Lc, ex = _sweep_level_em(
+            A, B, level, t.depth, Fls, Fxs, Fus, n, m, nb, ex
+        )
+        chols.append(Lc)
     fact = EmFactorization(
         Fls=tuple(Fls), Fxs=tuple(Fxs), Fus=tuple(Fus), chols=tuple(chols),
         nbatch=nb,

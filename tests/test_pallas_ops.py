@@ -54,7 +54,7 @@ def test_schur_kernel_matches_reference(level, N):
     Fus = [rng.normal(size=(m * n, N, B)).astype(f32) for _ in range(U)]
     fsol = [rng.normal(size=(G, n * n, B)).astype(f32) for _ in range(U)]
 
-    ol, ox, ou = schur_update_level_em(
+    ol, ox, ou, ex = schur_update_level_em(
         jnp.asarray(FLl), jnp.asarray(FLx), jnp.asarray(FLu),
         [jnp.asarray(x) for x in Fls], [jnp.asarray(x) for x in Fxs],
         [jnp.asarray(x) for x in Fus], [jnp.asarray(x) for x in fsol],
@@ -67,6 +67,24 @@ def test_schur_kernel_matches_reference(level, N):
         np.testing.assert_allclose(np.asarray(ol[u]), rl[u], atol=1e-4)
         np.testing.assert_allclose(np.asarray(ox[u]), rx[u], atol=1e-4)
         np.testing.assert_allclose(np.asarray(ou[u]), ru[u], atol=1e-4)
+    # Next-level separator extracts (when the tile covers whole groups).
+    span2 = 2 << (level + 1)
+    if ex is not None:
+        xm, xn, ln, um = ex
+        sel = np.arange(span2 // 2 - 1, N, span2)  # next level's separators
+        for u in range(U):
+            np.testing.assert_allclose(
+                np.asarray(xm[u]), np.moveaxis(rx[u][:, sel], 1, 0), atol=1e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(xn[u]), np.moveaxis(rx[u][:, sel + 1], 1, 0), atol=1e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(ln[u]), np.moveaxis(rl[u][:, sel + 1], 1, 0), atol=1e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(um[u]), np.moveaxis(ru[u][:, sel], 1, 0), atol=1e-4
+            )
 
 
 @pytest.fixture
