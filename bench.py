@@ -47,6 +47,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import rslqr_tpu as rt
 from rslqr_tpu import pscan, refine, rslqr, rslqr_em
 
+if os.environ.get("BENCH_FACTOR_DTYPE"):
+    # bf16 factor-slab storage experiment (config.factor_dtype, STATUS.md).
+    from rslqr_tpu.config import config as _cfg
+
+    _cfg.factor_dtype = os.environ["BENCH_FACTOR_DTYPE"]
+
 BASELINE_SOLVES_PER_SEC = 10_000.0
 
 
@@ -73,10 +79,29 @@ def _refine_kkt(p):
 
 SOLVERS = {
     "pscan": pscan.solve_pscan_kkt,
-    "rslqr": rslqr_em.solve_kkt_em,
+    "rslqr": rslqr.solve_kkt,  # layout auto-dispatch (em small / grid MXU)
+    "rslqr_em": rslqr_em.solve_kkt_em,
     "rslqr_grid": _grid_kkt,
     "refine": _refine_kkt,
 }
+
+
+def _chunked(kkt_fn, chunk):
+    """Process the scenario batch in sequential chunks via lax.map — the
+    quadruped-scale configs (nx=36) exceed one chip's HBM as a single
+    batched program; chunking trades concurrency for residency."""
+
+    def run(b):
+        B = b.x0.shape[0]
+        if B <= chunk or B % chunk:
+            return kkt_fn(b)
+        parts = jax.tree.map(
+            lambda x: x.reshape((B // chunk, chunk) + x.shape[1:]), b
+        )
+        outs = jax.lax.map(kkt_fn, parts)
+        return outs.reshape((B,) + outs.shape[2:])
+
+    return run
 
 
 def _chained(kkt_fn, K):
@@ -141,10 +166,14 @@ def main():
     which = os.environ.get("BENCH_SOLVER", "both")
     names = ["pscan", "rslqr"] if which == "both" else which.split(",")
     cfg = ""
+    chunk = int(os.environ.get("BENCH_CHUNK", "0"))
     if os.environ.get("BENCH_CONFIG") == "quadruped":
-        # BASELINE.md config: nx=36, nu=12, N=512, 256 scenarios.
+        # BASELINE.md config: nx=36, nu=12, N=512, 256 scenarios. A single
+        # batched program needs >21GB of factor/scan state at nx=36 — chunk
+        # the scenario batch to fit one chip's 16GB HBM.
         batch_size = int(os.environ.get("BENCH_BATCH", "256"))
         nhorizon = int(os.environ.get("BENCH_HORIZON", "512"))
+        chunk = chunk or 32
         cfg = "_quadruped"
         prob = rt.random_problem(
             jax.random.PRNGKey(1), nhorizon, 36, 12, jnp.float32
@@ -164,7 +193,10 @@ def main():
 
     results = {}
     for name in names:
-        results[name] = time_solver(name, SOLVERS[name], batch, batch_size, reps)
+        fn = SOLVERS[name]
+        if chunk:
+            fn = _chunked(fn, chunk)
+        results[name] = time_solver(name, fn, batch, batch_size, reps)
 
     # f32 solution-quality context (not part of the headline metric).
     single = jax.tree.map(lambda x: x[:1], batch)

@@ -8,7 +8,8 @@ numbers become meaningful on a real pod slice). Prints one JSON line per
 device count plus a final efficiency summary line.
 
 Env: SCALE_DEVICES (e.g. "1,2,4,8"), SCALE_BATCH (512), SCALE_HORIZON (256),
-SCALE_MODE (dp|sp), SCALE_PLATFORM (cpu to force the virtual mesh).
+SCALE_MODE (dp|sp), SCALE_SOLVER (rslqr|pscan — which horizon-sharded solver
+the sp mode runs), SCALE_PLATFORM (cpu to force the virtual mesh).
 """
 
 import dataclasses
@@ -32,6 +33,7 @@ import jax.numpy as jnp
 
 import rslqr_tpu as rt
 from rslqr_tpu.parallel import make_mesh, solve_batch_sharded
+from rslqr_tpu.parallel.pscan_seq import solve_pscan_sharded
 from rslqr_tpu.parallel.seq import solve_seq_sharded
 
 
@@ -40,6 +42,7 @@ def main():
     B = int(os.environ.get("SCALE_BATCH", "512"))
     N = int(os.environ.get("SCALE_HORIZON", "256"))
     mode = os.environ.get("SCALE_MODE", "dp")
+    solver = os.environ.get("SCALE_SOLVER", "rslqr")
     reps = int(os.environ.get("SCALE_REPS", "3"))
 
     prob = rt.double_integrator_problem(N, dtype=jnp.float32)
@@ -56,6 +59,9 @@ def main():
         if mode == "dp":
             mesh = make_mesh((d,), ("dp",), devices[:d])
             solve = lambda b: jnp.sum(solve_batch_sharded(b, mesh).kkt_vector())
+        elif solver == "pscan":
+            mesh = make_mesh((1, d), ("dp", "sp"), devices[:d])
+            solve = lambda b: jnp.sum(solve_pscan_sharded(b, mesh, "sp", "dp"))
         else:
             mesh = make_mesh((1, d), ("dp", "sp"), devices[:d])
             solve = lambda b: jnp.sum(solve_seq_sharded(b, mesh, "sp", "dp"))
@@ -90,7 +96,7 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": f"scaling_{mode}_d{d}_n{N}_b{B}",
+                    "metric": f"scaling_{mode}_{solver}_d{d}_n{N}_b{B}",
                     "value": round(B / t, 1),
                     "unit": "solves/s",
                     "efficiency_vs_1dev": round(eff, 3),

@@ -34,11 +34,18 @@ def main():
         ndp = 2 if len(devs) % 2 == 0 else 1
         mesh = make_mesh((ndp, len(devs) // ndp), ("dp", "sp"))
         out = solve_seq_sharded(batch, mesh, "sp", "dp")
-        print("dp x sp sharded:", out.shape)
-        import numpy as np
+        print("dp x sp sharded (tree solver):", out.shape)
         ref = rt.solve_kkt(batch)
         print("max diff vs single-device:",
               float(jnp.max(jnp.abs(out - ref))))
+
+        # Horizon-sharded parallel-scan Riccati: chunk-local scans, one
+        # segment all_gather, O(n^2 D) traffic independent of N.
+        from rslqr_tpu.parallel.pscan_seq import solve_pscan_sharded
+
+        out2 = solve_pscan_sharded(batch, mesh, "sp", "dp")
+        print("dp x sp sharded (pscan):", out2.shape,
+              "max diff:", float(jnp.max(jnp.abs(out2 - ref))))
 
 
 if __name__ == "__main__":

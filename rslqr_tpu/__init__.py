@@ -44,7 +44,14 @@ from .rslqr_em import (
 )
 from .pscan import solve_pscan, solve_pscan_kkt
 from .refine import kkt_apply, kkt_rhs, solve_refined
-from .profile import SolveProfile, print_solve_summary, profile_solve
+from .profile import (
+    RiccatiProfile,
+    SolveProfile,
+    print_solve_summary,
+    profile_riccati,
+    profile_solve,
+)
 from .tree import TreeTables, build_tree_tables
+from .config import config, linear_algebra_backend, set_layout
 
 __version__ = "0.1.0"

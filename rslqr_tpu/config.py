@@ -36,6 +36,11 @@ class Config:
     # wherever applicable; "interpret" = interpreter-mode kernel (CPU tests);
     # "off" = always the XLA stage.
     pallas: str = os.environ.get("RSLQR_TPU_PALLAS", "auto")
+    # Factor-slab storage dtype on the em path: "" (= problem dtype) or
+    # "bfloat16" to halve the level sweep's HBM traffic. Solves and
+    # separator math stay f32; expect a ~10x KKT-residual hit — pair with
+    # refine.solve_refined for accuracy. Experimental (STATUS.md).
+    factor_dtype: str = os.environ.get("RSLQR_TPU_FACTOR_DTYPE", "")
 
 
 config = Config()

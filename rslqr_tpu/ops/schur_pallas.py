@@ -76,7 +76,7 @@ def _kernel(*refs, n, m, level, tk, tb, span, U, gd, gd2):
     keep = jnp.logical_or((knots & (halfspan - 1)) != 0, knots == 0)
     # Separator write positions: knot == sep+1 <=> knot % span == 2^level.
     sep = (knots & (span - 1)) == halfspan
-    zero = jnp.zeros((), fll.dtype)
+    fdt = fll.dtype  # slab storage dtype (may be bf16; math runs f32)
 
     for u in range(U):
         fs = fss[u]  # [gd, nn, tb] block of the group-major [G, nn, B] array
@@ -108,23 +108,23 @@ def _kernel(*refs, n, m, level, tk, tb, span, U, gd, gd2):
         ux = mm(flx, n)
         uu = mm(flu, m)
         for e in range(nn):
-            vl = jnp.where(sep, fpl[e], fls[u][e] - jnp.where(keep, ul[e], zero))
+            vl = jnp.where(sep, fpl[e], fls[u][e] - jnp.where(keep, ul[e], 0.0))
             vx = fxs[u][e] - ux[e]
-            ols[u][e] = vl
-            oxs[u][e] = vx
+            ols[u][e] = vl.astype(fdt)
+            oxs[u][e] = vx.astype(fdt)
             if emit:
                 for g2 in range(gd2):
                     r = g2 * 2 * span + span - 1  # next level's separator
-                    oxm[u][g2, e] = vx[r]
-                    oxn[u][g2, e] = vx[r + 1]
-                    oln[u][g2, e] = vl[r + 1]
+                    oxm[u][g2, e] = vx[r].astype(oxm[u].dtype)
+                    oxn[u][g2, e] = vx[r + 1].astype(oxn[u].dtype)
+                    oln[u][g2, e] = vl[r + 1].astype(oln[u].dtype)
         for e in range(mn):
             vu = fus[u][e] - uu[e]
-            ous[u][e] = vu
+            ous[u][e] = vu.astype(fdt)
             if emit:
                 for g2 in range(gd2):
                     r = g2 * 2 * span + span - 1
-                    oum[u][g2, e] = vu[r]
+                    oum[u][g2, e] = vu[r].astype(oum[u].dtype)
 
 
 @functools.partial(
@@ -160,8 +160,10 @@ def schur_update_level_em(
     U = len(Fls)
     span = 1 << (level + 1)
     # Tile the knot axis to cover whole next-level groups where VMEM allows,
-    # so the kernel can emit the compact separator extracts.
-    tk = min(max(2 * span, 8), 16, N)
+    # so the kernel can emit the compact separator extracts. bf16 slabs need
+    # 16-row tiles (the (16, 128) bf16 memory tile).
+    min_tk = 16 if FLl.dtype == jnp.bfloat16 else 8
+    tk = min(max(2 * span, min_tk), 2 * min_tk, N)
     gd = max(tk // span, 1)
     gd2 = tk // (2 * span) if 2 * span <= tk and N >= 2 * span else 0
     tb = min(tb, B)
@@ -189,7 +191,7 @@ def schur_update_level_em(
     )
     if gd2:
         G2 = N // (2 * span)
-        dt = FLl.dtype
+        dt = fsol[0].dtype  # separator math precision (f32 even for bf16 slabs)
         for width in (nn, nn, nn, mn):
             out_specs += [ex_spec(width)] * U
             out_shape += [jax.ShapeDtypeStruct((G2, width, B), dt)] * U

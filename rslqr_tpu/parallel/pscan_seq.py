@@ -166,8 +166,8 @@ def solve_pscan_sharded(
         # Chunk composition (pairwise fold, earlier map first).
         Mc, tc = Phi, tv
         while Mc.shape[0] > 1:
-            Me, Mo = Mc[0::2], Mc[1::2]
-            te, to = tc[0::2], tc[1::2]
+            Me, Mo = ps._even_odd(Mc)
+            te, to = ps._even_odd(tc)
             Mc = la.bgemm(Mo, Me, nb)
             tc = la.bgemv(Mo, te, nb) + to
         Mg = jax.lax.all_gather(Mc[0], sp_axis)  # [D, n, n, *b]

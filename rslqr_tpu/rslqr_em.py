@@ -150,6 +150,16 @@ def _leaf_em(pbl: LQRProblem, levels: np.ndarray, depth: int, nb: int):
             Fus.append(jnp.where(mo, RiBt, 0.0))
             Fls.append(jnp.zeros((n, n, N) + b_shape, dtype))
 
+    from .config import config
+
+    if config.factor_dtype:
+        # Experimental traffic-halving storage (STATUS.md): factor slabs in
+        # bf16, all separator math and the RHS in full precision.
+        fdt = jnp.dtype(config.factor_dtype)
+        Fls = [x.astype(fdt) for x in Fls]
+        Fxs = [x.astype(fdt) for x in Fxs]
+        Fus = [x.astype(fdt) for x in Fus]
+
     # --- negated, leaf-transformed RHS (ref solver.c:187-190 +
     # nested_dissection.c:42-90; see rslqr._leaf_rhs_transform).
     m0 = _kmask(knot0, 1, nb)
@@ -221,12 +231,17 @@ def _sweep_level_em(A, B, level, depth, Fls, Fxs, Fus, n, m, nb, ex=None):
             # Separator write-back (the u > level writes fuse into the Schur
             # update below).
             gl = _gk(Fls[u], span, nb)
-            Fls[u] = _ugk(jnp.where(ms, jnp.expand_dims(Snew, -(nb + 1)), gl), nb)
+            Fls[u] = _ugk(
+                jnp.where(ms, jnp.expand_dims(Snew, -(nb + 1)), gl).astype(
+                    gl.dtype
+                ),
+                nb,
+            )
         else:
             fsols[u] = la.bcho_solve(Lc, S, nk)
 
     if level + 1 < depth:
-        mode = _pallas_schur_mode(A.dtype, nb, N, A.shape[3:])
+        mode = _pallas_schur_mode(Fls[0].dtype, nb, N, A.shape[3:], n)
         if mode is not None:
             ex_next = _schur_pallas(
                 level, depth, Fls, Fxs, Fus, fsols, n, m, mode
@@ -236,6 +251,7 @@ def _sweep_level_em(A, B, level, depth, Fls, Fxs, Fus, n, m, nb, ex=None):
         FL_l = _gk(Fls[level], span, nb)
         FL_x = _gk(Fxs[level], span, nb)
         FL_u = _gk(Fus[level], span, nb)
+        fdt = Fls[0].dtype
         for u in range(level + 1, depth):
             f_u = jnp.expand_dims(fsols[u], -(nb + 1))  # [n, n, G, 1, *b]
             upd_l = la.bgemm(FL_l, f_u, nk + 1)
@@ -244,19 +260,21 @@ def _sweep_level_em(A, B, level, depth, Fls, Fxs, Fus, n, m, nb, ex=None):
                     ms,
                     f_u,
                     _gk(Fls[u], span, nb) - jnp.where(keep, upd_l, 0.0),
-                ),
+                ).astype(fdt),
                 nb,
             )
             Fxs[u] = _ugk(
-                _gk(Fxs[u], span, nb) - la.bgemm(FL_x, f_u, nk + 1), nb
+                (_gk(Fxs[u], span, nb) - la.bgemm(FL_x, f_u, nk + 1)).astype(fdt),
+                nb,
             )
             Fus[u] = _ugk(
-                _gk(Fus[u], span, nb) - la.bgemm(FL_u, f_u, nk + 1), nb
+                (_gk(Fus[u], span, nb) - la.bgemm(FL_u, f_u, nk + 1)).astype(fdt),
+                nb,
             )
     return Lc, None
 
 
-def _pallas_schur_mode(dtype, nb: int, N: int, b_shape) -> Optional[bool]:
+def _pallas_schur_mode(dtype, nb: int, N: int, b_shape, n: int = 6) -> Optional[bool]:
     """Resolve the Schur-kernel dispatch: True = interpret, False = compiled,
     None = XLA stage. See config.pallas."""
     from .config import config
@@ -264,8 +282,15 @@ def _pallas_schur_mode(dtype, nb: int, N: int, b_shape) -> Optional[bool]:
     mode = config.pallas
     if mode == "off":
         return None
-    # Applicability: one flattened batch axis, knot axis tileable.
-    if nb != 1 or N < 8 or N % 8:
+    # The kernel unrolls ~n^3 FMA planes per upper level; past the
+    # small-block regime that explodes the Mosaic program (n=36 -> 46k
+    # instructions). Large blocks belong to the grid/MXU path anyway.
+    if n > config.mxu_block_threshold:
+        return None
+    # Applicability: one flattened batch axis, knot axis tileable (16-row
+    # tiles for bf16 slabs).
+    min_tk = 16 if dtype == jnp.bfloat16 else 8
+    if nb != 1 or N < min_tk or N % min_tk:
         return None
     B = b_shape[0]
     if B % min(128, B):
@@ -274,7 +299,8 @@ def _pallas_schur_mode(dtype, nb: int, N: int, b_shape) -> Optional[bool]:
         return True
     if mode == "on":
         return False
-    return False if jax.default_backend() == "tpu" and dtype == jnp.float32 else None
+    ok_dtype = dtype in (jnp.float32, jnp.bfloat16)
+    return False if jax.default_backend() == "tpu" and ok_dtype else None
 
 
 def _schur_pallas(level, depth, Fls, Fxs, Fus, fsols, n, m, interpret):

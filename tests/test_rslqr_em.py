@@ -79,6 +79,28 @@ def test_em_factorization_diagnostics(lqr_prob_path):
     assert bool(diagnostics.factorization_ok(sol.fact))
 
 
+def test_em_bf16_factor_storage(lqr_prob_path):
+    """Experimental bf16 slab storage (config.factor_dtype): the solve stays
+    usable (bounded residual) and iterative refinement recovers full
+    accuracy on top of the low-precision factorization."""
+    from rslqr_tpu import refine
+    from rslqr_tpu.config import config
+
+    prob64, _ = rt.read_lqr_problem_json(lqr_prob_path)
+    prob = prob64.astype(jnp.float32)
+    old = config.factor_dtype
+    config.factor_dtype = "bfloat16"
+    try:
+        vec = jax.jit(rslqr_em.solve_kkt_em)(prob)
+        res = float(rt.kkt_residual(prob64, vec.astype(jnp.float64)))
+        assert res < 5.0, res  # bf16 slabs: coarse but bounded (~0.9 here)
+        sol = refine.solve_refined(prob64, iterations=3, solve_dtype=jnp.float32)
+        res_ref = float(rt.kkt_residual(prob64, sol.kkt_vector()))
+        assert res_ref < 1e-6, res_ref  # refinement recovers accuracy
+    finally:
+        config.factor_dtype = old
+
+
 def test_em_solve_twice_bitwise(lqr_prob_path):
     """Purity: re-solving gives bitwise-identical output (the reference's
     reset + solve-twice test, nested_dissection_test.c:285-313)."""
