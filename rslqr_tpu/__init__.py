@@ -52,6 +52,12 @@ from .profile import (
     profile_solve,
 )
 from .tree import TreeTables, build_tree_tables
-from .config import config, linear_algebra_backend, set_layout
+from .config import (
+    SolveOptions,
+    config,
+    linear_algebra_backend,
+    set_layout,
+    set_pallas,
+)
 
 __version__ = "0.1.0"

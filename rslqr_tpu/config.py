@@ -12,53 +12,161 @@ import (overridable programmatically), because under jit the equivalents of
 | RSLQR_TPU_MATMUL_PRECISION | highest | jax matmul precision for f32 solves |
 | RSLQR_TPU_REFINE_ITERS | 2  | default iterative-refinement steps |
 | RSLQR_TPU_LAYOUT | auto | tree-solver slab layout: auto / em / grid |
+| RSLQR_TPU_PALLAS | auto | Schur/leaf/RHS Pallas kernels: auto/on/interpret/off |
+| RSLQR_TPU_FACTOR_DTYPE | "" | factor-slab storage dtype ("bfloat16" experimental) |
+
+**Staleness contract.** These values are read at *trace* time inside the
+solvers, so they are effectively part of every compiled program. Assigning
+to any ``config`` attribute (or calling a ``set_*`` helper) therefore
+invalidates jax's jit caches (``jax.clear_caches()``): a user who holds an
+already-jitted solve and then flips a config value gets a re-trace — the new
+value *takes effect* on the next call instead of silently executing the old
+compiled path. For per-call control without global state, pass an explicit
+:class:`SolveOptions` to the solver entry points instead.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import os
+from typing import Optional
 
 
-@dataclasses.dataclass
+_LAYOUTS = ("auto", "em", "grid")
+_PALLAS_MODES = ("auto", "on", "interpret", "off")
+
+
 class Config:
-    mxu_block_threshold: int = int(os.environ.get("RSLQR_TPU_MXU_THRESHOLD", "8"))
-    matmul_precision: str = os.environ.get("RSLQR_TPU_MATMUL_PRECISION", "highest")
-    refine_iterations: int = int(os.environ.get("RSLQR_TPU_REFINE_ITERS", "2"))
-    # "em": element-major slabs (dense [knot, batch] tiles, production TPU
-    # path for small blocks); "grid": knot-major [depth, N, n, n, *b] grids
-    # (reference-shaped, used by the golden intermediate-factor tests and the
-    # MXU large-block regime); "auto": em iff the block dims fit the
-    # small-block kernels.
-    layout: str = os.environ.get("RSLQR_TPU_LAYOUT", "auto")
-    # Pallas Schur-update kernel (ops/schur_pallas.py) on the em path:
-    # "auto" = compiled kernel on TPU, XLA elsewhere; "on" = compiled kernel
-    # wherever applicable; "interpret" = interpreter-mode kernel (CPU tests);
-    # "off" = always the XLA stage.
-    pallas: str = os.environ.get("RSLQR_TPU_PALLAS", "auto")
-    # Factor-slab storage dtype on the em path: "" (= problem dtype) or
-    # "bfloat16" to halve the level sweep's HBM traffic. Solves and
-    # separator math stay f32; expect a ~10x KKT-residual hit — pair with
-    # refine.solve_refined for accuracy. Experimental (STATUS.md).
-    factor_dtype: str = os.environ.get("RSLQR_TPU_FACTOR_DTYPE", "")
+    """Mutable global defaults. Attribute assignment clears jit caches (see
+    module docstring); the validated fields mirror :class:`SolveOptions`."""
+
+    # Attributes are implemented via __setattr__ so any mutation path
+    # (property-style or direct assignment) invalidates jit caches.
+    _FIELDS = (
+        "mxu_block_threshold",
+        "matmul_precision",
+        "refine_iterations",
+        "layout",
+        "pallas",
+        "factor_dtype",
+    )
+
+    def __init__(self) -> None:
+        d = self.__dict__
+        d["mxu_block_threshold"] = int(
+            os.environ.get("RSLQR_TPU_MXU_THRESHOLD", "8")
+        )
+        d["matmul_precision"] = os.environ.get(
+            "RSLQR_TPU_MATMUL_PRECISION", "highest"
+        )
+        d["refine_iterations"] = int(os.environ.get("RSLQR_TPU_REFINE_ITERS", "2"))
+        # "em": element-major slabs (dense [knot, batch] tiles, production TPU
+        # path for small blocks); "grid": knot-major [depth, N, n, n, *b]
+        # grids (reference-shaped, used by the golden intermediate-factor
+        # tests and the MXU large-block regime); "auto": em iff the block
+        # dims fit the small-block kernels.
+        d["layout"] = os.environ.get("RSLQR_TPU_LAYOUT", "auto")
+        # Pallas kernels (ops/) on the em path: "auto" = compiled kernels on
+        # TPU, XLA elsewhere; "on" = compiled wherever applicable;
+        # "interpret" = interpreter-mode (CPU tests); "off" = XLA stages.
+        d["pallas"] = os.environ.get("RSLQR_TPU_PALLAS", "auto")
+        # Factor-slab storage dtype on the em path: "" (= problem dtype) or
+        # "bfloat16" to halve the level sweep's HBM traffic. Solves and
+        # separator math stay f32. ACCURACY CONTRACT: raw bf16-slab residuals
+        # grow with tree depth (~1e+2 at N=256); always pair with
+        # refine.solve_refined (tests/test_rslqr_em.py pins the post-refine
+        # residual). Excluded from headline benchmarks.
+        d["factor_dtype"] = os.environ.get("RSLQR_TPU_FACTOR_DTYPE", "")
+
+    def __setattr__(self, name: str, value) -> None:
+        if name not in self._FIELDS:
+            raise AttributeError(f"unknown config field {name!r}")
+        if name == "layout" and value not in _LAYOUTS:
+            raise ValueError(f"unknown layout {value!r} (want one of {_LAYOUTS})")
+        if name == "pallas" and value not in _PALLAS_MODES:
+            raise ValueError(
+                f"unknown pallas mode {value!r} (want one of {_PALLAS_MODES})"
+            )
+        changed = self.__dict__.get(name) != value
+        self.__dict__[name] = value
+        if name == "mxu_block_threshold":
+            from . import linalg
+
+            linalg.MXU_BLOCK_THRESHOLD = value
+        if changed:
+            _invalidate_jit_caches()
+
+    def __repr__(self) -> str:
+        fields = ", ".join(f"{k}={self.__dict__[k]!r}" for k in self._FIELDS)
+        return f"Config({fields})"
+
+
+def _invalidate_jit_caches() -> None:
+    """Drop compiled-program caches so trace-time config reads re-resolve.
+
+    Only acts when jax is already imported (config mutation at import time,
+    before any trace exists, must not force the jax import).
+    """
+    import sys
+
+    jax = sys.modules.get("jax")
+    if jax is not None:
+        jax.clear_caches()
 
 
 config = Config()
 
 
+@dataclasses.dataclass(frozen=True)
+class SolveOptions:
+    """Per-call, trace-static solver options (the explicit alternative to the
+    global :data:`config`).
+
+    Hashable and frozen so it can be passed through ``jax.jit`` as a static
+    argument — two different options values are two different compiled
+    programs, eliminating the stale-cache hazard entirely. ``from_config``
+    snapshots the current global defaults.
+    """
+
+    layout: str = "auto"
+    pallas: str = "auto"
+    factor_dtype: str = ""
+    mxu_block_threshold: int = 8
+
+    def __post_init__(self):
+        if self.layout not in _LAYOUTS:
+            raise ValueError(f"unknown layout {self.layout!r}")
+        if self.pallas not in _PALLAS_MODES:
+            raise ValueError(f"unknown pallas mode {self.pallas!r}")
+
+    @staticmethod
+    def from_config() -> "SolveOptions":
+        return SolveOptions(
+            layout=config.layout,
+            pallas=config.pallas,
+            factor_dtype=config.factor_dtype,
+            mxu_block_threshold=config.mxu_block_threshold,
+        )
+
+
+def resolve_options(options: Optional[SolveOptions]) -> SolveOptions:
+    """``options`` if given, else a snapshot of the global config."""
+    return options if options is not None else SolveOptions.from_config()
+
+
 def set_layout(layout: str) -> None:
     """Select the tree-solver slab layout ("auto" / "em" / "grid")."""
-    if layout not in ("auto", "em", "grid"):
-        raise ValueError(f"unknown layout {layout!r}")
     config.layout = layout
+
+
+def set_pallas(mode: str) -> None:
+    """Select the Pallas kernel mode ("auto" / "on" / "interpret" / "off")."""
+    config.pallas = mode
 
 
 def set_mxu_block_threshold(n: int) -> None:
     """Adjust the small-block/MXU dispatch point (see linalg.py)."""
-    from . import linalg
-
     config.mxu_block_threshold = n
-    linalg.MXU_BLOCK_THRESHOLD = n
 
 
 def apply_matmul_precision() -> None:

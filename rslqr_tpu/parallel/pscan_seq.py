@@ -97,6 +97,14 @@ def solve_pscan_sharded(
     C = N // D
     if C * D != N or C < 2:
         raise ValueError(f"need N ({N}) divisible by devices ({D}) with chunk >= 2")
+    if C & (C - 1):
+        # The forward chunk-composition fold below halves Mc each step, so
+        # the per-device chunk must be a power of two (unlike single-device
+        # pscan, whose scans odd-peel). N=24 over D=4 (C=6) would otherwise
+        # fail with an opaque bgemm shape error mid-trace.
+        raise ValueError(
+            f"per-device chunk N/D = {N}/{D} = {C} must be a power of two"
+        )
 
     def bl(x):
         if nb == 0:

@@ -469,20 +469,25 @@ def leaf_solve_rhs(
     return _leaf_rhs_transform(pbl, (zy, -pbl.q, -pbl.r), nb)
 
 
-def _use_em_layout(prob: LQRProblem) -> bool:
+def _use_em_layout(prob: LQRProblem, options=None) -> bool:
     """Layout dispatch: element-major for small blocks (see rslqr_em),
-    knot-major grids otherwise (config.layout overrides)."""
-    from .config import config
+    knot-major grids otherwise (options/config.layout overrides)."""
+    from .config import resolve_options
 
-    if config.layout == "em":
+    opts = resolve_options(options)
+    if opts.layout == "em":
         return True
-    if config.layout == "grid":
+    if opts.layout == "grid":
         return False
-    thr = config.mxu_block_threshold
+    thr = opts.mxu_block_threshold
     return prob.A.shape[-2] <= thr and prob.B.shape[-1] <= thr
 
 
-def solve(prob: LQRProblem, tables: Optional[TreeTables] = None) -> RsLqrSolution:
+def solve(
+    prob: LQRProblem,
+    tables: Optional[TreeTables] = None,
+    options=None,
+) -> RsLqrSolution:
     """Full rsLQR solve (ref ndlqr_Solve, solve.c:38-190).
 
     Accepts a single problem or a natively-batched one (leading batch axes).
@@ -492,11 +497,18 @@ def solve(prob: LQRProblem, tables: Optional[TreeTables] = None) -> RsLqrSolutio
     layout); large blocks run the knot-major MXU path. ``.fact`` is the
     corresponding factorization pytree (both work with solve diagnostics
     and the multi-RHS solvers of their module).
+
+    ``options`` (a :class:`rslqr_tpu.config.SolveOptions`) pins the
+    layout/kernel choices per call; ``None`` snapshots the global config at
+    trace time (mutating the config clears jit caches, see config.py).
     """
-    if _use_em_layout(prob):
+    from .config import resolve_options
+
+    opts = resolve_options(options)
+    if _use_em_layout(prob, opts):
         from . import rslqr_em
 
-        return rslqr_em.solve_em(prob, tables)
+        return rslqr_em.solve_em(prob, tables, options=opts)
     nb = _num_batch_axes(prob)
     pbl = _to_batch_last(prob, nb)
     t = tables or build_tree_tables(pbl.A.shape[0])
@@ -507,6 +519,6 @@ def solve(prob: LQRProblem, tables: Optional[TreeTables] = None) -> RsLqrSolutio
     )
 
 
-def solve_kkt(prob: LQRProblem) -> jax.Array:
+def solve_kkt(prob: LQRProblem, options=None) -> jax.Array:
     """Convenience: solve and return the flat KKT vector(s) ``[*b, nvars]``."""
-    return solve(prob).kkt_vector()
+    return solve(prob, options=options).kkt_vector()

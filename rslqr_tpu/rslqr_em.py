@@ -94,7 +94,8 @@ def _kmask(sel: np.ndarray, lead: int, nb: int) -> jax.Array:
     return jnp.asarray(sel.reshape((1,) * lead + sel.shape + (1,) * nb))
 
 
-def _leaf_em(pbl: LQRProblem, levels: np.ndarray, depth: int, nb: int):
+def _leaf_em(pbl: LQRProblem, levels: np.ndarray, depth: int, nb: int,
+             factor_dtype: str = ""):
     """Phase 1 (ref nested_dissection.c:10-105) in element-major layout.
 
     Every knot-indexed scatter of the grid path (rslqr._leaf_solve) becomes
@@ -150,12 +151,10 @@ def _leaf_em(pbl: LQRProblem, levels: np.ndarray, depth: int, nb: int):
             Fus.append(jnp.where(mo, RiBt, 0.0))
             Fls.append(jnp.zeros((n, n, N) + b_shape, dtype))
 
-    from .config import config
-
-    if config.factor_dtype:
+    if factor_dtype:
         # Experimental traffic-halving storage (STATUS.md): factor slabs in
         # bf16, all separator math and the RHS in full precision.
-        fdt = jnp.dtype(config.factor_dtype)
+        fdt = jnp.dtype(factor_dtype)
         Fls = [x.astype(fdt) for x in Fls]
         Fxs = [x.astype(fdt) for x in Fxs]
         Fus = [x.astype(fdt) for x in Fus]
@@ -179,7 +178,8 @@ def _em_from_gm(x: jax.Array, p: int, q: int) -> jax.Array:
     return jnp.moveaxis(x, 0, 1).reshape(p, q, G, B)
 
 
-def _sweep_level_em(A, B, level, depth, Fls, Fxs, Fus, n, m, nb, ex=None):
+def _sweep_level_em(A, B, level, depth, Fls, Fxs, Fus, n, m, nb, ex=None,
+                    options=None):
     """One level of the factorization sweep (ref solve.c:68-134) in
     element-major layout; mutates the slab lists, returns the level's
     Cholesky factors ``[n, n, G, *b]`` and the next level's separator
@@ -241,7 +241,7 @@ def _sweep_level_em(A, B, level, depth, Fls, Fxs, Fus, n, m, nb, ex=None):
             fsols[u] = la.bcho_solve(Lc, S, nk)
 
     if level + 1 < depth:
-        mode = _pallas_schur_mode(Fls[0].dtype, nb, N, A.shape[3:], n)
+        mode = _pallas_schur_mode(Fls[0].dtype, nb, N, A.shape[3:], n, options)
         if mode is not None:
             ex_next = _schur_pallas(
                 level, depth, Fls, Fxs, Fus, fsols, n, m, mode
@@ -274,18 +274,21 @@ def _sweep_level_em(A, B, level, depth, Fls, Fxs, Fus, n, m, nb, ex=None):
     return Lc, None
 
 
-def _pallas_schur_mode(dtype, nb: int, N: int, b_shape, n: int = 6) -> Optional[bool]:
-    """Resolve the Schur-kernel dispatch: True = interpret, False = compiled,
+def _pallas_schur_mode(
+    dtype, nb: int, N: int, b_shape, n: int = 6, options=None
+) -> Optional[bool]:
+    """Resolve the Pallas kernel dispatch: True = interpret, False = compiled,
     None = XLA stage. See config.pallas."""
-    from .config import config
+    from .config import resolve_options
 
-    mode = config.pallas
+    opts = resolve_options(options)
+    mode = opts.pallas
     if mode == "off":
         return None
     # The kernel unrolls ~n^3 FMA planes per upper level; past the
     # small-block regime that explodes the Mosaic program (n=36 -> 46k
     # instructions). Large blocks belong to the grid/MXU path anyway.
-    if n > config.mxu_block_threshold:
+    if n > opts.mxu_block_threshold:
         return None
     # Applicability: one flattened batch axis, knot axis tileable (16-row
     # tiles for bf16 slabs).
@@ -377,7 +380,7 @@ def _num_batch_axes(prob: LQRProblem) -> int:
 
 
 def factorize_em(
-    prob: LQRProblem, tables: Optional[TreeTables] = None
+    prob: LQRProblem, tables: Optional[TreeTables] = None, options=None
 ) -> Tuple[EmFactorization, Tuple]:
     """Leaf solves + level sweep (ref solve.c:50-134), element-major.
 
@@ -385,16 +388,21 @@ def factorize_em(
     Returns the factorization and the leaf-solved element-major RHS
     ``(zy, zx, zu)`` (each ``[n|m, N, *b]``).
     """
+    from .config import resolve_options
+
+    opts = resolve_options(options)
     nb = _num_batch_axes(prob)
     pbl = _to_batch_last(prob, nb)
     t = tables or build_tree_tables(pbl.A.shape[0])
     n, m = pbl.A.shape[1], pbl.B.shape[2]
-    Fls, Fxs, Fus, A, B, zy, zx, zu = _leaf_em(pbl, t.levels, t.depth, nb)
+    Fls, Fxs, Fus, A, B, zy, zx, zu = _leaf_em(
+        pbl, t.levels, t.depth, nb, opts.factor_dtype
+    )
     chols = []
     ex = None
     for level in range(t.depth):
         Lc, ex = _sweep_level_em(
-            A, B, level, t.depth, Fls, Fxs, Fus, n, m, nb, ex
+            A, B, level, t.depth, Fls, Fxs, Fus, n, m, nb, ex, opts
         )
         chols.append(Lc)
     fact = EmFactorization(
@@ -449,15 +457,16 @@ def em_rhs_from_bl(rhs: Tuple) -> Tuple:
     return _emv(zy), _emv(zx), _emv(zu)
 
 
-def solve_em(prob: LQRProblem, tables: Optional[TreeTables] = None) -> RsLqrSolution:
+def solve_em(
+    prob: LQRProblem, tables: Optional[TreeTables] = None, options=None
+) -> RsLqrSolution:
     """Full rsLQR solve, element-major (ref ndlqr_Solve, solve.c:38-190)."""
-    nb = _num_batch_axes(prob)
     t = tables or build_tree_tables(prob.A.shape[-3])
-    fact, rhs = factorize_em(prob, t)
+    fact, rhs = factorize_em(prob, t, options=options)
     return solve_rhs_em(prob, fact, rhs, t)
 
 
-def solve_kkt_em(prob: LQRProblem) -> jax.Array:
+def solve_kkt_em(prob: LQRProblem, options=None) -> jax.Array:
     """Solve and return the flat KKT vector(s) ``[*b, nvars]``."""
-    sol = solve_em(prob)
+    sol = solve_em(prob, options=options)
     return pack_solution(sol.Y, sol.X, sol.U)
