@@ -51,6 +51,38 @@ class RiccatiSolution:
         return pack_solution(self.Y, self.X, self.U)
 
 
+def backward_step(P_next, p_next, A, B, f, Qd, Rd, q, r):
+    """One backward Riccati step at a single knot point.
+
+    Exposed separately so the action-value expansion in the middle of the
+    pass is unit-testable against the reference's hard-coded single-step
+    literals (riccati_solver_test.c:87-220), not just via end-to-end parity.
+
+    Returns ``(Qx, Qu, Qxx, Quu, Qux, K, d, P, p)``.
+    """
+    # Gradient terms (riccati_solve.c:50-61)
+    Pf_p = P_next @ f + p_next
+    Qx = q + A.T @ Pf_p
+    Qu = r + B.T @ Pf_p
+    # Hessian terms (riccati_solve.c:63-78)
+    AtP = A.T @ P_next
+    BtP = B.T @ P_next
+    Qxx = jnp.diag(Qd) + AtP @ A
+    Quu = jnp.diag(Rd) + BtP @ B
+    Qux = BtP @ A
+    # Gains via Cholesky (riccati_solve.c:80-93)
+    L = jnp.linalg.cholesky(Quu)
+    rhs = jnp.concatenate([Qux, Qu[:, None]], axis=1)
+    sol = jax.scipy.linalg.cho_solve((L, True), rhs)
+    K = -sol[:, :-1]
+    dgain = -sol[:, -1]
+    # Cost-to-go (riccati_solve.c:95-109)
+    QuuK = Quu @ K
+    P = Qxx + K.T @ QuuK + K.T @ Qux + Qux.T @ K
+    p = Qx + K.T @ (Quu @ dgain) + K.T @ Qu + Qux.T @ dgain
+    return Qx, Qu, Qxx, Quu, Qux, K, dgain, P, p
+
+
 def backward_pass(prob: LQRProblem):
     """Backward Riccati recursion (ref riccati_solve.c:26-112).
 
@@ -63,26 +95,7 @@ def backward_pass(prob: LQRProblem):
     def step(carry, inp):
         P_next, p_next = carry
         A, B, f, Qd, Rd, q, r = inp
-        # Gradient terms (riccati_solve.c:50-61)
-        Pf_p = P_next @ f + p_next
-        Qx = q + A.T @ Pf_p
-        Qu = r + B.T @ Pf_p
-        # Hessian terms (riccati_solve.c:63-78)
-        AtP = A.T @ P_next
-        BtP = B.T @ P_next
-        Qxx = jnp.diag(Qd) + AtP @ A
-        Quu = jnp.diag(Rd) + BtP @ B
-        Qux = BtP @ A
-        # Gains via Cholesky (riccati_solve.c:80-93)
-        L = jnp.linalg.cholesky(Quu)
-        rhs = jnp.concatenate([Qux, Qu[:, None]], axis=1)
-        sol = jax.scipy.linalg.cho_solve((L, True), rhs)
-        K = -sol[:, :-1]
-        dgain = -sol[:, -1]
-        # Cost-to-go (riccati_solve.c:95-109)
-        QuuK = Quu @ K
-        P = Qxx + K.T @ QuuK + K.T @ Qux + Qux.T @ K
-        p = Qx + K.T @ (Quu @ dgain) + K.T @ Qu + Qux.T @ dgain
+        *_, K, dgain, P, p = backward_step(P_next, p_next, A, B, f, Qd, Rd, q, r)
         return (P, p), (K, dgain, P, p)
 
     inputs = (
