@@ -94,6 +94,20 @@ def _kmask(sel: np.ndarray, lead: int, nb: int) -> jax.Array:
     return jnp.asarray(sel.reshape((1,) * lead + sel.shape + (1,) * nb))
 
 
+def _leaf_masks(levels: np.ndarray, N: int, depth: int):
+    """Static per-level leaf-ownership masks over knots (ref
+    nested_dissection.c:10-105 index logic via the tree tables)."""
+    ks = np.arange(N)
+    own = [  # knots 1 <= k < N-1 whose own-dynamics blocks live at level L
+        (levels[np.minimum(ks, N - 2)] == L) & (ks >= 1) & (ks < N - 1)
+        for L in range(depth)
+    ]
+    prev = [  # knots k >= 1 whose previous-step block lives at level(k-1)
+        np.concatenate([[False], levels == L]) for L in range(depth)
+    ]
+    return own, prev
+
+
 def _leaf_em(pbl: LQRProblem, levels: np.ndarray, depth: int, nb: int,
              factor_dtype: str = ""):
     """Phase 1 (ref nested_dissection.c:10-105) in element-major layout.
@@ -122,13 +136,7 @@ def _leaf_em(pbl: LQRProblem, levels: np.ndarray, depth: int, nb: int,
 
     ks = np.arange(N)
     knot0 = ks == 0
-    own = [  # knots 1 <= k < N-1 whose own-dynamics blocks live at level L
-        (levels[np.minimum(ks, N - 2)] == L) & (ks >= 1) & (ks < N - 1)
-        for L in range(depth)
-    ]
-    prev = [  # knots k >= 1 whose previous-step block lives at level(k-1)
-        np.concatenate([[False], levels == L]) for L in range(depth)
-    ]
+    own, prev = _leaf_masks(levels, N, depth)
 
     eye = jnp.eye(n, dtype=dtype).reshape((n, n, 1) + (1,) * nb)
     Fls: List[jax.Array] = []
@@ -159,9 +167,22 @@ def _leaf_em(pbl: LQRProblem, levels: np.ndarray, depth: int, nb: int,
         Fxs = [x.astype(fdt) for x in Fxs]
         Fus = [x.astype(fdt) for x in Fus]
 
-    # --- negated, leaf-transformed RHS (ref solver.c:187-190 +
-    # nested_dissection.c:42-90; see rslqr._leaf_rhs_transform).
-    m0 = _kmask(knot0, 1, nb)
+    zy, zx, zu = _leaf_z(pbl, nb)
+    return Fls, Fxs, Fus, A, B, zy, zx, zu
+
+
+def _leaf_z(pbl: LQRProblem, nb: int):
+    """Negated, leaf-transformed RHS planes (ref solver.c:187-190 +
+    nested_dissection.c:42-90; see rslqr._leaf_rhs_transform)."""
+    N = pbl.A.shape[0]
+    q_ = _emv(pbl.q)  # [n, N, *b]
+    r_ = _emv(pbl.r)
+    f_ = _emv(pbl.f)
+    Qd = _emv(pbl.Qdiag)
+    Rd = _emv(pbl.Rdiag)
+    qinv, rinv = 1.0 / Qd, 1.0 / Rd
+    ks = np.arange(N)
+    m0 = _kmask(ks == 0, 1, nb)
     mlast = _kmask(ks == N - 1, 1, nb)
     zy0 = jnp.concatenate(
         [-pbl.x0[:, None], -f_[:, :-1]], axis=1
@@ -169,7 +190,7 @@ def _leaf_em(pbl: LQRProblem, levels: np.ndarray, depth: int, nb: int,
     zy = jnp.where(m0, -Qd[:, :1] * zy0 + q_, zy0)
     zx = jnp.where(m0, -zy0, -q_ * qinv)
     zu = jnp.where(mlast, -r_, -r_ * rinv)
-    return Fls, Fxs, Fus, A, B, zy, zx, zu
+    return zy, zx, zu
 
 
 def _em_from_gm(x: jax.Array, p: int, q: int) -> jax.Array:
@@ -196,9 +217,6 @@ def _sweep_level_em(A, B, level, depth, Fls, Fxs, Fus, n, m, nb, ex=None,
     G = N // span
     nk = nb + 1  # trailing batch axes including the knot/group axis
 
-    A_sep = _sel(_gk(A, span, nb), mid, nb)  # [n, n, G, *b]
-    B_sep = _sel(_gk(B, span, nb), mid, nb)
-
     Lc = None
     fsols = {}
     sepw = np.zeros((G, span), dtype=bool)
@@ -206,16 +224,14 @@ def _sweep_level_em(A, B, level, depth, Fls, Fxs, Fus, n, m, nb, ex=None,
     ms = _kmask(sepw, 2, nb)
     for u in range(level, depth):
         if ex is not None:
-            # Compact separator reads (Pallas extracts from the previous
-            # level) — avoids strided near-full-slab re-reads.
-            xm, xn, ln, um = (e[u - level] for e in ex)
-            S = (
-                la.bgemm(A_sep, _em_from_gm(xm, n, n), nk)
-                + la.bgemm(B_sep, _em_from_gm(um, m, n), nk)
-                - _em_from_gm(xn, n, n)
-                - _em_from_gm(ln, n, n)
-            )
+            # Inner products emitted by the previous level's kernel —
+            # compact [G, nn, B] arrays, no slab re-reads. The separator
+            # write-back for THIS level's slab is already folded in there
+            # too, so the u == level branch only needs the Cholesky.
+            S = _em_from_gm(ex[u - level], n, n)
         else:
+            A_sep = _sel(_gk(A, span, nb), mid, nb)  # [n, n, G, *b]
+            B_sep = _sel(_gk(B, span, nb), mid, nb)
             gl = _gk(Fls[u], span, nb)
             gx = _gk(Fxs[u], span, nb)
             gu = _gk(Fus[u], span, nb)
@@ -227,26 +243,26 @@ def _sweep_level_em(A, B, level, depth, Fls, Fxs, Fus, n, m, nb, ex=None,
             )
         if u == level:
             Lc = la.bcholesky(S, nk)
-            Snew = S
-            # Separator write-back (the u > level writes fuse into the Schur
-            # update below).
-            gl = _gk(Fls[u], span, nb)
-            Fls[u] = _ugk(
-                jnp.where(ms, jnp.expand_dims(Snew, -(nb + 1)), gl).astype(
-                    gl.dtype
-                ),
-                nb,
-            )
+            if ex is None:
+                # Separator write-back (the u > level writes fuse into the
+                # Schur update below; kernel-emitted S folds it upstream).
+                gl = _gk(Fls[u], span, nb)
+                Fls[u] = _ugk(
+                    jnp.where(ms, jnp.expand_dims(S, -(nb + 1)), gl).astype(
+                        gl.dtype
+                    ),
+                    nb,
+                )
         else:
             fsols[u] = la.bcho_solve(Lc, S, nk)
 
     if level + 1 < depth:
         mode = _pallas_schur_mode(Fls[0].dtype, nb, N, A.shape[3:], n, options)
         if mode is not None:
-            ex_next = _schur_pallas(
-                level, depth, Fls, Fxs, Fus, fsols, n, m, mode
+            S_next = _schur_pallas(
+                A, B, level, depth, Fls, Fxs, Fus, fsols, n, m, mode
             )
-            return Lc, ex_next
+            return Lc, S_next
         keep = _kmask(_lambda_mask(N, span, mid + 1), 2, nb)
         FL_l = _gk(Fls[level], span, nb)
         FL_x = _gk(Fxs[level], span, nb)
@@ -306,16 +322,35 @@ def _pallas_schur_mode(
     return False if jax.default_backend() == "tpu" and ok_dtype else None
 
 
-def _schur_pallas(level, depth, Fls, Fxs, Fus, fsols, n, m, interpret):
+def _sep_gm(M: jax.Array, level: int) -> jax.Array:
+    """Group-major gather of a dynamics array at level-``level`` separator
+    knots: ``[p, q, N, B] -> [G, pq, B]`` with ``G = N / 2^{level+1}``.
+
+    Uses the free reshape + unit-slice pattern (never a strided gather)."""
+    p, q, N, B = M.shape
+    span = 1 << (level + 1)
+    G = N // span
+    sep = M.reshape(p * q, G, span, B)[:, :, span // 2 - 1, :]
+    return jnp.moveaxis(sep, 0, 1)
+
+
+def _schur_pallas(A, B_dyn, level, depth, Fls, Fxs, Fus, fsols, n, m, interpret):
     """Run the fused Pallas Schur stage (ops/schur_pallas.py) in place of the
     XLA update loop. Slabs are [n, n, N, B] -> flattened [nn, N, B] views.
-    Returns the next level's separator extracts (or None)."""
-    from .ops.schur_pallas import schur_update_level_em
+    Returns the next level's inner products list (or None)."""
+    from .ops.schur_pallas import _tiles, schur_update_level_em
 
     N, B = Fls[level].shape[2], Fls[level].shape[3]
     nn, mn = n * n, m * n
     us = list(range(level + 1, depth))
-    ol, ox, ou, ex = schur_update_level_em(
+    # Emit the next level's products when the knot tile covers whole
+    # next-level groups (see _tiles); else the caller recomputes from slabs.
+    _, _, _, gd2, _ = _tiles(level, N, B, Fls[0].dtype, 128)
+    Asep = Bsep = None
+    if gd2 > 0 and level + 2 <= depth:
+        Asep = _sep_gm(A, level + 1)
+        Bsep = _sep_gm(B_dyn, level + 1)
+    ol, ox, ou, S_next = schur_update_level_em(
         Fls[level].reshape(nn, N, B),
         Fxs[level].reshape(nn, N, B),
         Fus[level].reshape(mn, N, B),
@@ -324,6 +359,8 @@ def _schur_pallas(level, depth, Fls, Fxs, Fus, fsols, n, m, interpret):
         [Fus[u].reshape(mn, N, B) for u in us],
         # fsol goes group-major [G, nn, B] (see kernel block constraints).
         [jnp.moveaxis(fsols[u].reshape(nn, -1, B), 0, 1) for u in us],
+        Asep,
+        Bsep,
         level=level,
         n=n,
         m=m,
@@ -333,10 +370,10 @@ def _schur_pallas(level, depth, Fls, Fxs, Fus, fsols, n, m, interpret):
         Fls[u] = ol[i].reshape(n, n, N, B)
         Fxs[u] = ox[i].reshape(n, n, N, B)
         Fus[u] = ou[i].reshape(m, n, N, B)
-    return ex
+    return S_next
 
 
-def _rhs_level_em(A, B, level, Fl, Fx, Fu, Lc, zy, zx, zu, nb):
+def _rhs_level_em(A, B, level, Fl, Fx, Fu, Lc, zy, zx, zu, nb, options=None):
     """One level of the RHS sweep (ref solve.c:137-182), element-major.
 
     Vectors are ``[n|m, N, *b]``; returns updated ``(zy, zx, zu)``.
@@ -361,6 +398,24 @@ def _rhs_level_em(A, B, level, Fl, Fx, Fu, Lc, zy, zx, zu, nb):
     )
     zbar = la.bcho_solve_vec(Lc, znew, nk)  # [n, G, *b]
 
+    n, m = zy.shape[0], zu.shape[0]
+    mode = _pallas_schur_mode(Fl.dtype, nb, N, zy.shape[2:], n, options)
+    if mode is not None:
+        # Fused slab application: one HBM pass over the level's factor slab
+        # (ops/schur_pallas.rhs_update_level_em); the compact separator
+        # solve above stays XLA.
+        from .ops.schur_pallas import rhs_update_level_em
+
+        B_ = zy.shape[2]
+        return rhs_update_level_em(
+            Fl.reshape(n * n, N, B_),
+            Fx.reshape(n * n, N, B_),
+            Fu.reshape(m * n, N, B_),
+            zy, zx, zu,
+            jnp.moveaxis(zbar, 0, 1),  # [G, n, B] group-major
+            level=level, n=n, m=m, interpret=mode,
+        )
+
     sepw = np.zeros((G, span), dtype=bool)
     sepw[:, mid + 1] = True
     ms = _kmask(sepw, 1, nb)
@@ -373,6 +428,62 @@ def _rhs_level_em(A, B, level, Fl, Fx, Fu, Lc, zy, zx, zu, nb):
     zx = _ugk(gx - upd_x, nb)
     zu = _ugk(gu - upd_u, nb)
     return zy, zx, zu
+
+
+def _leaf_products0(pbl: LQRProblem, t: TreeTables, n: int, m: int, nb: int):
+    """Level-0 inner products computed directly from the problem data on
+    compact even/odd-knot gathers — no leaf slabs are materialized.
+
+    ``S_{0,u} = A_sep @ Fx_u[even] + B_sep @ Fu_u[even] - Fx_u[odd]``
+    (ndlqr_FactorInnerProduct at level 0, nested_dissection.c:114-134; the
+    lambda term vanishes because the only nonzero leaf lambda block sits at
+    knot 0, an even knot). All gathers use reshape + unit-slice (free).
+    Returns ``(A, B, qinv, rinv, [S_u])`` in element-major layout.
+    """
+    N, depth = pbl.A.shape[0], t.depth
+    nk = nb + 1
+    A = _em(pbl.A)  # [n, n, N, *b]
+    Bd = _em(pbl.B)
+    At = jnp.swapaxes(A, 0, 1)
+    Bt = jnp.swapaxes(Bd, 0, 1)
+    qinv = 1.0 / _emv(pbl.Qdiag)  # [n, N, *b]
+    rinv = 1.0 / _emv(pbl.Rdiag)
+    QiAt = At * qinv[:, None]
+    RiBt = Bt * rinv[:, None]
+    own, prev = _leaf_masks(t.levels, N, depth)
+    knot0 = np.arange(N) == 0
+
+    par = lambda x, p: _sel(_gk(x, 2, nb), p, nb)  # even (0) / odd (1) knots
+    eye = jnp.eye(n, dtype=A.dtype).reshape((n, n, 1) + (1,) * nb)
+    qinv_e, qinv_o = par(qinv, 0), par(qinv, 1)
+    A_sep, B_sep = par(A, 0), par(Bd, 0)
+    QiAt_e, QiAt_o = par(QiAt, 0), par(QiAt, 1)
+    RiBt_e = par(RiBt, 0)
+
+    Ss = []
+    for u in range(depth):
+        def fx(parity, QiAt_p, qinv_p):
+            mo = _kmask(own[u][parity::2], 2, nb)
+            mp = _kmask(prev[u][parity::2], 2, nb)
+            return jnp.where(mo, QiAt_p, 0.0) - jnp.where(
+                mp, eye * qinv_p[None], 0.0
+            )
+
+        ownu = own[u] | knot0 if u == 0 else own[u]
+        Fue = jnp.where(_kmask(ownu[0::2], 2, nb), RiBt_e, 0.0)
+        S = (
+            la.bgemm(A_sep, fx(0, QiAt_e, qinv_e), nk)
+            + la.bgemm(B_sep, Fue, nk)
+            - fx(1, QiAt_o, qinv_o)
+        )
+        Ss.append(S)
+    return A, Bd, qinv, rinv, Ss
+
+
+def _gm(x: jax.Array) -> jax.Array:
+    """Element-major block array ``[p, q, G, B] -> [G, pq, B]`` group-major."""
+    p, q, G, B = x.shape
+    return jnp.moveaxis(x.reshape(p * q, G, B), 0, 1)
 
 
 def _num_batch_axes(prob: LQRProblem) -> int:
@@ -395,12 +506,51 @@ def factorize_em(
     pbl = _to_batch_last(prob, nb)
     t = tables or build_tree_tables(pbl.A.shape[0])
     n, m = pbl.A.shape[1], pbl.B.shape[2]
-    Fls, Fxs, Fus, A, B, zy, zx, zu = _leaf_em(
-        pbl, t.levels, t.depth, nb, opts.factor_dtype
-    )
-    chols = []
-    ex = None
-    for level in range(t.depth):
+    N = pbl.A.shape[0]
+    fdt = jnp.dtype(opts.factor_dtype) if opts.factor_dtype else pbl.A.dtype
+    mode = _pallas_schur_mode(fdt, nb, N, pbl.A.shape[3:], n, opts)
+
+    if mode is not None and t.depth >= 2:
+        # Fused leaf + level-0 path: level-0 products from compact gathers,
+        # then ONE kernel writes every slab in its post-level-0 state
+        # (ops/schur_pallas.leaf_schur_level0_em) and emits the level-1
+        # products. Replaces the separate leaf pass + its slab re-read.
+        from .ops.schur_pallas import leaf_schur_level0_em
+
+        nk = nb + 1
+        A, B, qinv, rinv, Ss = _leaf_products0(pbl, t, n, m, nb)
+        Lc0 = la.bcholesky(Ss[0], nk)
+        fsols0 = [la.bcho_solve(Lc0, S, nk) for S in Ss[1:]]
+        Bb = A.shape[3]
+        Fls, Fxs, Fus, ex = leaf_schur_level0_em(
+            A.reshape(n * n, N, Bb),
+            B.reshape(n * m, N, Bb),
+            qinv,
+            rinv,
+            _gm(Ss[0]),
+            [_gm(f) for f in fsols0],
+            _sep_gm(A, 1),
+            _sep_gm(B, 1),
+            depth=t.depth,
+            n=n,
+            m=m,
+            interpret=mode,
+            factor_dtype=opts.factor_dtype,
+        )
+        Fls = [x.reshape(n, n, N, Bb) for x in Fls]
+        Fxs = [x.reshape(n, n, N, Bb) for x in Fxs]
+        Fus = [x.reshape(m, n, N, Bb) for x in Fus]
+        zy, zx, zu = _leaf_z(pbl, nb)
+        chols = [Lc0]
+        start_level = 1
+    else:
+        Fls, Fxs, Fus, A, B, zy, zx, zu = _leaf_em(
+            pbl, t.levels, t.depth, nb, opts.factor_dtype
+        )
+        chols = []
+        ex = None
+        start_level = 0
+    for level in range(start_level, t.depth):
         Lc, ex = _sweep_level_em(
             A, B, level, t.depth, Fls, Fxs, Fus, n, m, nb, ex, opts
         )
@@ -417,6 +567,7 @@ def solve_rhs_em(
     fact: EmFactorization,
     rhs: Tuple,
     tables: Optional[TreeTables] = None,
+    options=None,
 ) -> RsLqrSolution:
     """Cached-factorization RHS solve (ref solve.c:137-182), element-major.
 
@@ -432,7 +583,7 @@ def solve_rhs_em(
     for level in range(t.depth):
         zy, zx, zu = _rhs_level_em(
             A, B, level, fact.Fls[level], fact.Fxs[level], fact.Fus[level],
-            fact.chols[level], zy, zx, zu, nb,
+            fact.chols[level], zy, zx, zu, nb, options,
         )
     Y, X, U = _emv_bl(zy), _emv_bl(zx), _emv_bl(zu)
     return RsLqrSolution(
@@ -463,7 +614,7 @@ def solve_em(
     """Full rsLQR solve, element-major (ref ndlqr_Solve, solve.c:38-190)."""
     t = tables or build_tree_tables(prob.A.shape[-3])
     fact, rhs = factorize_em(prob, t, options=options)
-    return solve_rhs_em(prob, fact, rhs, t)
+    return solve_rhs_em(prob, fact, rhs, t, options=options)
 
 
 def solve_kkt_em(prob: LQRProblem, options=None) -> jax.Array:
