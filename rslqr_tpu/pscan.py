@@ -359,9 +359,22 @@ def solve_pscan(prob: LQRProblem) -> RiccatiSolution:
 
     Accepts a single problem or a leading-batch problem pytree (like
     :func:`rslqr_tpu.rslqr.solve`); batch axes are carried on the TPU lane
-    dimension internally.
+    dimension internally. Large-block batches (past the lane-kernel
+    threshold) are instead ``vmap``-ed over the scenario axis: at nbatch=0
+    every mat-last transpose in :mod:`rslqr_tpu.linalg` is the identity, so
+    vmap turns the whole solve into natively-batched MXU ``dot_general`` /
+    LU ops with zero per-op transposes — the large-block fast path
+    (the reference's any-size backend dispatch role, linalg.c:153-190).
     """
     nb = prob.A.ndim - 3
+    n_, m_ = prob.A.shape[-2], prob.B.shape[-1]
+    if nb and max(n_, m_) > la.MXU_BLOCK_THRESHOLD:
+        bshape = prob.A.shape[:nb]
+        flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[nb:]), prob)
+        sol = jax.vmap(solve_pscan)(flat)
+        return jax.tree.map(
+            lambda x: x.reshape(bshape + x.shape[1:]), sol
+        )
 
     def bl(x):
         if nb == 0:
