@@ -21,9 +21,17 @@ solves, robust statistic), with two TPU-specific corrections:
    difference (t(K2) - t(K1)) / (K2 - K1). This measures steady-state
    device throughput, which is what batched production serving sees.
 
+One run covers every headline family: pscan/rslqr/refine on the N=256
+nx=6 config plus rslqr/pscan on the quadruped (N=512, nx=36) config, all
+reported in the JSON ``detail`` with mean/std/min/median/max solves/s (the
+reference's kNruns statistics, sample_problem_test.c:47-67) and the
+compile+first latency per program.
+
 Env knobs: BENCH_BATCH (1024), BENCH_HORIZON (256), BENCH_REPS (5),
-BENCH_SOLVER (comma list of pscan|rslqr|rslqr_grid|refine, or "both" =
-pscan+rslqr), BENCH_K1/BENCH_K2 (1/9), BENCH_CONFIG (quadruped).
+BENCH_SOLVER (comma list of pscan|rslqr|rslqr_grid|rslqr_em|refine, "all" =
+pscan+rslqr+refine+quadruped, "both" = pscan+rslqr only), BENCH_K1/BENCH_K2
+(1/9), BENCH_CONFIG=quadruped (quadruped only), BENCH_QUAD_BATCH (256),
+BENCH_QUAD_HORIZON (512), BENCH_QUAD_CHUNK (32).
 """
 
 import dataclasses
@@ -123,105 +131,180 @@ def _chained(kkt_fn, K):
 
 
 def _time_stats(fn, batch, reps, label):
+    """Run ``fn`` reps times; returns (per-rep seconds, compile seconds)."""
     t0 = time.time()
     float(fn(batch))  # compile + first run, forced to completion
-    log(f"[bench] {label}: compile+first={time.time() - t0:.1f}s")
+    compile_s = time.time() - t0
+    log(f"[bench] {label}: compile+first={compile_s:.1f}s")
     times = []
     for _ in range(reps):
         t0 = time.time()
         float(fn(batch))  # scalar fetch forces real completion
         times.append(time.time() - t0)
     med = sorted(times)[len(times) // 2]
-    best = min(times)
-    log(f"[bench] {label}: best {best*1e3:.1f}ms median {med*1e3:.1f}ms")
-    return best, med
+    log(f"[bench] {label}: best {min(times)*1e3:.1f}ms median {med*1e3:.1f}ms")
+    return times, compile_s
 
 
 def time_solver(name, kkt_fn, batch, batch_size, reps):
-    """Returns {"median": solves/s, "best": solves/s} via finite difference."""
+    """Per-solver throughput statistics via the finite-difference method.
+
+    Returns mean/std/min/median/max solves/s (the reference's kNruns
+    statistics, sample_problem_test.c:14-18,47-67) plus the compile+first
+    latencies. Stats are computed over the K2-chain samples: per-solve
+    time for rep i = (t2_i - median(t1)) / (K2 - K1), so std reflects the
+    run-to-run variance of the long chain.
+    """
     k1 = int(os.environ.get("BENCH_K1", "1"))
     k2 = int(os.environ.get("BENCH_K2", "9"))
-    b1, m1 = _time_stats(_chained(kkt_fn, k1), batch, reps, f"{name} K={k1}")
-    b2, m2 = _time_stats(_chained(kkt_fn, k2), batch, reps, f"{name} K={k2}")
-    out = {}
-    for stat, t1, t2 in (("median", m1, m2), ("best", b1, b2)):
-        per_solve = (t2 - t1) / (k2 - k1)
-        if per_solve <= 0.25 * t2 / k2:
-            # Dispatch noise swamped the finite difference; use the chained
-            # mean (a conservative upper bound on the per-solve time).
-            per_solve = t2 / k2
-        out[stat] = batch_size / per_solve
-        if stat == "median":
-            log(
-                f"[bench] {name}: {per_solve*1e3:.2f} ms/batched-solve "
-                f"({stat}, diff method) -> {out[stat]:,.0f} solves/s"
-            )
+    t1s, c1 = _time_stats(_chained(kkt_fn, k1), batch, reps, f"{name} K={k1}")
+    t2s, c2 = _time_stats(_chained(kkt_fn, k2), batch, reps, f"{name} K={k2}")
+    t1_med = sorted(t1s)[len(t1s) // 2]
+    per = []
+    for t2 in t2s:
+        ps = (t2 - t1_med) / (k2 - k1)
+        if ps <= 0.25 * t2 / k2:
+            ps = t2 / k2  # dispatch noise swamped the difference
+        per.append(ps)
+    per_sorted = sorted(per)
+    sps = [batch_size / p for p in per]
+    mean = sum(sps) / len(sps)
+    std = (sum((s - mean) ** 2 for s in sps) / len(sps)) ** 0.5
+    out = {
+        "mean": mean,
+        "std": std,
+        "min": min(sps),
+        "median": batch_size / per_sorted[len(per_sorted) // 2],
+        "max": max(sps),
+        "best": max(sps),
+        "ms_per_batched_solve": per_sorted[len(per_sorted) // 2] * 1e3,
+        "compile_first_s": round(c1, 1),
+        "compile_first_k2_s": round(c2, 1),
+    }
+    log(
+        f"[bench] {name}: {out['ms_per_batched_solve']:.2f} ms/batched-solve "
+        f"(median, diff method) -> {out['median']:,.0f} solves/s "
+        f"(mean {mean:,.0f} +- {std:,.0f})"
+    )
     return out
 
 
+def _main_batch(nhorizon, batch_size):
+    path = "/root/reference/lqr_prob_256.json"
+    if nhorizon == 256 and os.path.exists(path):
+        prob, _ = rt.read_lqr_problem_json(path, dtype=jnp.float32)
+    else:
+        prob = rt.double_integrator_problem(nhorizon, dtype=jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), batch_size)
+    return rt.batch_problems(prob, keys)
+
+
+def _quadruped_batch(nhorizon, batch_size):
+    # BASELINE.md config: nx=36, nu=12, N=512, 256 scenarios. A single
+    # batched program needs >21GB of factor/scan state at nx=36 — chunk
+    # the scenario batch to fit one chip's 16GB HBM.
+    prob = rt.random_problem(
+        jax.random.PRNGKey(1), nhorizon, 36, 12, jnp.float32
+    )
+    keys = jax.random.split(jax.random.PRNGKey(0), batch_size)
+    return rt.batch_problems(prob, keys)
+
+
 def main():
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+    which = os.environ.get("BENCH_SOLVER", "all")
+    chunk = int(os.environ.get("BENCH_CHUNK", "0"))
+    quad_only = os.environ.get("BENCH_CONFIG") == "quadruped"
+
+    # One driver run produces every headline family in `detail` (VERDICT r2
+    # item #3): pscan / rslqr / refine on the N=256 config, plus both
+    # solvers on the quadruped config, unless narrowed via env.
+    if quad_only:
+        names = []
+        quad_names = ["rslqr", "pscan"] if which == "all" else which.split(",")
+    elif which == "all":
+        names = ["pscan", "rslqr", "refine"]
+        quad_names = ["rslqr", "pscan"]
+    elif which == "both":
+        names, quad_names = ["pscan", "rslqr"], []
+    else:
+        names, quad_names = which.split(","), []
+
     batch_size = int(os.environ.get("BENCH_BATCH", "1024"))
     nhorizon = int(os.environ.get("BENCH_HORIZON", "256"))
-    reps = int(os.environ.get("BENCH_REPS", "5"))
-    which = os.environ.get("BENCH_SOLVER", "both")
-    names = ["pscan", "rslqr"] if which == "both" else which.split(",")
-    cfg = ""
-    chunk = int(os.environ.get("BENCH_CHUNK", "0"))
-    if os.environ.get("BENCH_CONFIG") == "quadruped":
-        # BASELINE.md config: nx=36, nu=12, N=512, 256 scenarios. A single
-        # batched program needs >21GB of factor/scan state at nx=36 — chunk
-        # the scenario batch to fit one chip's 16GB HBM.
-        batch_size = int(os.environ.get("BENCH_BATCH", "256"))
-        nhorizon = int(os.environ.get("BENCH_HORIZON", "512"))
-        chunk = chunk or 32
-        cfg = "_quadruped"
-        prob = rt.random_problem(
-            jax.random.PRNGKey(1), nhorizon, 36, 12, jnp.float32
-        )
-    else:
-        path = "/root/reference/lqr_prob_256.json"
-        if nhorizon == 256 and os.path.exists(path):
-            prob, _ = rt.read_lqr_problem_json(path, dtype=jnp.float32)
-        else:
-            prob = rt.double_integrator_problem(nhorizon, dtype=jnp.float32)
+    qb = int(os.environ.get("BENCH_QUAD_BATCH", "256"))
+    qn = int(os.environ.get("BENCH_QUAD_HORIZON", "512"))
+    if quad_only:
+        qb = int(os.environ.get("BENCH_BATCH", str(qb)))
+        qn = int(os.environ.get("BENCH_HORIZON", str(qn)))
 
-    keys = jax.random.split(jax.random.PRNGKey(0), batch_size)
-    batch = rt.batch_problems(prob, keys)
-    jax.block_until_ready(batch)
-    log(f"[bench] backend={jax.default_backend()} device={jax.devices()[0]} "
-        f"B={batch_size} N={nhorizon} solvers={names}")
-
+    log(f"[bench] backend={jax.default_backend()} device={jax.devices()[0]}")
     results = {}
-    for name in names:
-        fn = SOLVERS[name]
-        if chunk:
-            fn = _chunked(fn, chunk)
-        results[name] = time_solver(name, fn, batch, batch_size, reps)
 
-    # f32 solution-quality context (not part of the headline metric).
-    single = jax.tree.map(lambda x: x[:1], batch)
-    out = jax.jit(rslqr.solve_kkt)(single)[0]
-    res = float(rt.kkt_residual(jax.tree.map(lambda x: x[0], batch), out))
-    log(f"[bench] rslqr f32 KKT residual: {res:.3e}")
-    if "refine" in results:
-        outr = jax.jit(_refine_kkt)(single)[0]
-        resr = float(rt.kkt_residual(jax.tree.map(lambda x: x[0], batch), outr))
-        log(f"[bench] refined (2 iter) f32 KKT residual: {resr:.3e}")
+    if names:
+        batch = _main_batch(nhorizon, batch_size)
+        jax.block_until_ready(batch)
+        log(f"[bench] main config B={batch_size} N={nhorizon} nx=6 nu=3 "
+            f"solvers={names}")
+        for name in names:
+            fn = SOLVERS[name]
+            if chunk:
+                fn = _chunked(fn, chunk)
+            results[name] = time_solver(name, fn, batch, batch_size, reps)
 
-    best_name = max(results, key=lambda k: results[k]["median"])
-    value = results[best_name]["median"]
+        # f32 solution-quality context (not part of the headline metric).
+        single = jax.tree.map(lambda x: x[:1], batch)
+        out = jax.jit(rslqr.solve_kkt)(single)[0]
+        res = float(rt.kkt_residual(jax.tree.map(lambda x: x[0], batch), out))
+        log(f"[bench] rslqr f32 KKT residual: {res:.3e}")
+        results["rslqr_f32_kkt_residual"] = res
+        if "refine" in names:
+            outr = jax.jit(_refine_kkt)(single)[0]
+            resr = float(
+                rt.kkt_residual(jax.tree.map(lambda x: x[0], batch), outr)
+            )
+            log(f"[bench] refined (2 iter) f32 KKT residual: {resr:.3e}")
+            results["refine_f32_kkt_residual"] = resr
+
+    if quad_names:
+        qchunk = int(os.environ.get("BENCH_QUAD_CHUNK", "32"))
+        qbatch = _quadruped_batch(qn, qb)
+        jax.block_until_ready(qbatch)
+        log(f"[bench] quadruped config B={qb} N={qn} nx=36 nu=12 "
+            f"chunk={qchunk} solvers={quad_names}")
+        for name in quad_names:
+            fn = _chunked(SOLVERS[name], qchunk)
+            results[f"{name}_quadruped"] = time_solver(
+                f"{name}_quadruped", fn, qbatch, qb, reps
+            )
+
+    timed = {k: v for k, v in results.items() if isinstance(v, dict)}
+    if names:
+        head_pool = {k: v for k, v in timed.items() if k in names}
+        cfg = ""
+        hb, hn = batch_size, nhorizon
+    else:
+        head_pool = timed
+        cfg = "_quadruped"
+        hb, hn = qb, qn
+    best_name = max(head_pool, key=lambda k: head_pool[k]["median"])
+    value = head_pool[best_name]["median"]
     print(
         json.dumps(
             {
                 "metric": (
-                    f"lqr_solves_per_sec_chip_n{nhorizon}_b{batch_size}"
+                    f"lqr_solves_per_sec_chip_n{hn}_b{hb}"
                     f"_f32{cfg}_{best_name}"
                 ),
                 "value": round(value, 1),
                 "unit": "solves/s",
                 "vs_baseline": round(value / BASELINE_SOLVES_PER_SEC, 3),
                 "detail": {
-                    k: {s: round(v, 1) for s, v in st.items()}
+                    k: (
+                        {s: round(v, 1) for s, v in st.items()}
+                        if isinstance(st, dict)
+                        else st
+                    )
                     for k, st in results.items()
                 },
             }

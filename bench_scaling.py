@@ -83,13 +83,20 @@ def main():
         f1, f2 = chained(k1), chained(k2)
         float(f1(batch)), float(f2(batch))  # compile
         ts = []
+        fell_back = 0
         for _ in range(reps):
             t0 = time.time(); float(f1(batch)); t1 = time.time() - t0
             t0 = time.time(); float(f2(batch)); t2 = time.time() - t0
             # Fall back to the chained mean when dispatch noise swamps the
-            # finite difference (tiny problems on fast local backends).
+            # finite difference (tiny problems on fast local backends) —
+            # and SAY so (the "method" field), since chained-mean numbers
+            # carry dispatch overhead and aren't comparable to diff ones.
             diff = (t2 - t1) / (k2 - k1)
-            ts.append(diff if diff > 0.25 * t2 / k2 else t2 / k2)
+            if diff > 0.25 * t2 / k2:
+                ts.append(diff)
+            else:
+                ts.append(t2 / k2)
+                fell_back += 1
         t = min(ts)
         times[d] = t
         eff = times[counts[0]] / (t * d / counts[0]) if counts[0] in times else 1.0
@@ -100,6 +107,10 @@ def main():
                     "value": round(B / t, 1),
                     "unit": "solves/s",
                     "efficiency_vs_1dev": round(eff, 3),
+                    "method": (
+                        "finite_diff" if fell_back == 0 else
+                        f"chained_mean_{fell_back}_of_{reps}"
+                    ),
                 }
             )
         )

