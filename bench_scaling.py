@@ -22,7 +22,17 @@ if os.environ.get("SCALE_PLATFORM", "cpu") == "cpu":
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+        flags += " --xla_force_host_platform_device_count=8"
+    if "collective" not in flags:
+        # 8 emulated devices time-slicing one host's cores on pod-sized
+        # workloads overrun XLA:CPU's default collective-rendezvous
+        # deadline (the round-2 d=8 abort); raise it — the deadline does
+        # not exist on real TPU collectives.
+        flags += (
+            " --xla_cpu_collective_timeout_seconds=1200"
+            " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+        )
+    os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax
 

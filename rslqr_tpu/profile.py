@@ -412,11 +412,19 @@ def linalg_flop_estimate(nstates: int, ninputs: int, nhorizon: int) -> dict:
     )
     rhs = N * depth * (4 * n * n + 2 * m * n)
     total = leaves + products + cholesky + cholsolve + shur + rhs
-    # Minimum slab traffic (read+write of the touched factor slabs per level).
+    # Minimum HBM slab traffic of the production (fused-kernel) flow:
+    #   leaf+level-0 kernel writes every slab once (depth units),
+    #   each level 1..depth-2 reads its multiplier slab and reads+writes
+    #   every upper slab (1 + 2*(depth-1-L) units),
+    #   the RHS sweep reads every slab once (depth units).
+    # One "unit" = one full factor slab (2 n^2 + m n elements per knot).
     slab = N * (2 * n * n + m * n)
-    bytes_min = 4 * sum(
-        3 * slab * (depth - L) for L in range(depth)
+    units = (
+        depth                                    # leaf+L0 slab writes
+        + sum(1 + 2 * (depth - 1 - L) for L in range(1, max(depth - 1, 1)))
+        + depth                                  # RHS sweep reads
     )
+    bytes_min = 4 * slab * units
     return {
         "flops_leaves": leaves,
         "flops_products": products,

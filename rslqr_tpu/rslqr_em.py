@@ -257,18 +257,16 @@ def _level_products_em(A, B, level, depth, Fls, Fxs, Fus, nb, ex, n):
 def _level_writeback_em(Fls, level, S, nb):
     """Separator write-back of this level's Sbar into its lambda slab
     (ref solve.c:92-97 placement); mutates ``Fls``. The kernel path folds
-    this into the upstream store instead."""
-    N = Fls[level].shape[2]
+    this into the upstream store instead.
+
+    Written as a functional scatter on the grouped view (one row per
+    group) rather than a full-slab ``where`` so XLA lowers it as an
+    in-place dynamic-update-slice, not a slab-sized copy."""
     span = 1 << (level + 1)
     mid = (1 << level) - 1
-    G = N // span
-    sepw = np.zeros((G, span), dtype=bool)
-    sepw[:, mid + 1] = True
-    ms = _kmask(sepw, 2, nb)
-    gl = _gk(Fls[level], span, nb)
-    Fls[level] = _ugk(
-        jnp.where(ms, jnp.expand_dims(S, -(nb + 1)), gl).astype(gl.dtype), nb
-    )
+    gl = _gk(Fls[level], span, nb)  # [n, n, G, span, *b]
+    idx = (Ellipsis, mid + 1) + (slice(None),) * nb
+    Fls[level] = _ugk(gl.at[idx].set(S.astype(gl.dtype)), nb)
 
 
 def _level_cholsolve_em(Lc, Ss, level, nb):
