@@ -4,7 +4,7 @@
 For each tree level, chains K data-dependent kernel invocations (outputs
 feed the next call's upper slabs) and reports ms/call and achieved GB/s
 against the per-call traffic model (FL read + upper slabs r/w + fsol read
-+ extract writes). Run on the real chip:
++ S-emission writes). Run on the real chip:
 
     python bench_kernels.py            # N=256 B=1024 n=6 m=3
 Env: KB_LEVELS ("0,2,4,6"), KB_N, KB_B, KB_K (8), KB_REPS (3).
@@ -54,6 +54,16 @@ def main():
         Fxs = [jax.random.normal(ks[4], (nn, N, B), jnp.float32)] * U
         Fus = [jax.random.normal(ks[5], (mn, N, B), jnp.float32)] * U
         fsol = [jax.random.normal(ks[6], (G, nn, B), jnp.float32)] * U
+        # Next-level separator dynamics: exercises the production S-emission
+        # configuration when the tile covers whole next-level groups.
+        span2 = 2 * span
+        emit_cfg = span2 <= min(max(span, 8) * 2, 16, N) and N >= span2
+        if emit_cfg:
+            G2 = N // span2
+            Asep = jax.random.normal(ks[0], (G2, nn, B), jnp.float32)
+            Bsep = jax.random.normal(ks[1], (G2, n * m, B), jnp.float32)
+        else:
+            Asep = Bsep = None
 
         def chained(Kc):
             def run(args):
@@ -63,7 +73,7 @@ def main():
                     fls, fxs, fus = carry
                     ol, ox, ou, _ = schur_update_level_em(
                         FLl, FLx, FLu, list(fls), list(fxs), list(fus),
-                        fsol, level=level, n=n, m=m,
+                        fsol, Asep, Bsep, level=level, n=n, m=m,
                     )
                     return (ol, ox, ou)
 
@@ -86,7 +96,10 @@ def main():
             ts.append((tK - t1) / (K - 1))
         per_call = min(ts)
         slab = (2 * nn + mn) * N * B * 4
-        ex_bytes = (3 * nn + mn) * (N // (2 * span)) * B * 4 if 2 * span <= 16 else 0
+        # S emission replaced the 4 extracts in round 3: one [G2, nn, B]
+        # array per upper level when the tile covers next-level groups.
+        emit = 2 * span <= min(max(2 * span, 8), 16, N)
+        ex_bytes = nn * (N // (2 * span)) * B * 4 if emit else 0
         traffic = slab + U * (2 * slab + ex_bytes) + U * (G * nn * B * 4)
         print(
             json.dumps(

@@ -124,7 +124,17 @@ def bcholesky(A: jax.Array, nbatch: int = 1) -> jax.Array:
     """
     n = A.shape[-(nbatch + 2)]
     if n > MXU_BLOCK_THRESHOLD:
-        return _from_mat_last(jnp.linalg.cholesky(_to_mat_last(A, nbatch)), nbatch)
+        # XLA TPU's batched Cholesky custom call serializes per column
+        # (~4 GFLOP/s measured at batched 36x36); the blocked panel
+        # factorization keeps the bulk on the MXU.
+        return _from_mat_last(cholesky_ml(_to_mat_last(A, nbatch)), nbatch)
+    return _bcholesky_unrolled(A, nbatch)
+
+
+def _bcholesky_unrolled(A: jax.Array, nbatch: int) -> jax.Array:
+    """Unrolled Cholesky-Banachiewicz lane kernel (any block size; callers
+    keep it panel-sized)."""
+    n = A.shape[-(nbatch + 2)]
 
     def at(M, i, j):
         idx = (Ellipsis, i, j) + (slice(None),) * nbatch
@@ -165,6 +175,11 @@ def btrsm_lower(L: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
             Lm, Bm, left_side=True, lower=True, transpose_a=False
         )
         return _from_mat_last(X, nbatch)
+    return _btrsm_lower_unrolled(L, B, nbatch)
+
+
+def _btrsm_lower_unrolled(L: jax.Array, B: jax.Array, nbatch: int) -> jax.Array:
+    n = L.shape[-(nbatch + 2)]
 
     def at(M, i, j):
         idx = (Ellipsis, i, j) + (slice(None),) * nbatch
@@ -192,6 +207,11 @@ def btrsm_lower_t(L: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
             Lm, Bm, left_side=True, lower=True, transpose_a=True
         )
         return _from_mat_last(X, nbatch)
+    return _btrsm_lower_t_unrolled(L, B, nbatch)
+
+
+def _btrsm_lower_t_unrolled(L: jax.Array, B: jax.Array, nbatch: int) -> jax.Array:
+    n = L.shape[-(nbatch + 2)]
 
     def at(M, i, j):
         idx = (Ellipsis, i, j) + (slice(None),) * nbatch
@@ -256,8 +276,11 @@ def bsolve(A: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
     """
     n = A.shape[-(nbatch + 2)]
     if n > MXU_BLOCK_THRESHOLD:
+        # XLA's batched LU factor is column-serialized like its Cholesky;
+        # route through the blocked unpivoted LU (sole large-block user is
+        # the scan combine's well-conditioned I + C J — see lu_ml).
         Am, Bm = _bcast_mat_last(A, B, nbatch)
-        return _from_mat_last(jnp.linalg.solve(Am, Bm), nbatch)
+        return _from_mat_last(solve_ml(Am, Bm), nbatch)
 
     def row(M, i):  # [..., cols, *b]
         idx = (Ellipsis, i, slice(None)) + (slice(None),) * nbatch
@@ -425,3 +448,210 @@ def blu_solve_t(LU, dinv, B, nbatch: int = 1) -> jax.Array:
 def beye(n: int, like: jax.Array, nbatch: int = 1) -> jax.Array:
     """Identity block broadcastable against ``[..., n, n, *b]`` arrays."""
     return jnp.eye(n, dtype=like.dtype).reshape((n, n) + (1,) * nbatch)
+
+
+# ---------------------------------------------------------------------------
+# Blocked (panel) factorizations for mid-size blocks, mat-last layout.
+#
+# XLA TPU's batched Cholesky / LU custom calls serialize per column and run
+# at single-digit GFLOP/s for batched 36x36 blocks (measured ~3.7 GF/s vs
+# ~700 GF/s for the batched gemm at the same shape) — they are the
+# bottleneck of the quadruped-scale configs. These panel algorithms put the
+# O(n^3) bulk into batched MXU gemms and run only panel-sized (<= PANEL)
+# factorizations through the unrolled lane kernels on cheap transposed
+# views. This is the reference's "pick a real backend for every size"
+# dispatch (linalg.c:153-190) realized TPU-natively.
+#
+# All functions below take mat-last arrays ``[*lead, n, n]`` / rhs
+# ``[*lead, n, w]`` (the layout vmap produces for the large-block path).
+# ---------------------------------------------------------------------------
+
+PANEL = 16
+
+
+def _em_view(x: jax.Array) -> jax.Array:
+    """Mat-last panel ``[*lead, p, q] -> [p, q, Bflat]`` for lane kernels."""
+    lead = x.shape[:-2]
+    p, q = x.shape[-2:]
+    return jnp.moveaxis(x.reshape((-1, p, q)), 0, -1), lead
+
+
+def _ml_view(x: jax.Array, lead) -> jax.Array:
+    """Inverse of :func:`_em_view`."""
+    p, q = x.shape[:2]
+    return jnp.moveaxis(x, -1, 0).reshape(lead + (p, q))
+
+
+def _panel_chol_ml(A: jax.Array) -> jax.Array:
+    em, lead = _em_view(A)
+    return _ml_view(_bcholesky_unrolled(em, 1), lead)
+
+
+def _panel_trsm_lower_ml(L: jax.Array, B: jax.Array) -> jax.Array:
+    """Solve ``L X = B`` with panel-sized lower ``L`` (mat-last)."""
+    Lem, lead = _em_view(L)
+    Bem, _ = _em_view(B)
+    return _ml_view(_btrsm_lower_unrolled(Lem, Bem, 1), lead)
+
+
+def _panel_trsm_lower_t_ml(L: jax.Array, B: jax.Array) -> jax.Array:
+    Lem, lead = _em_view(L)
+    Bem, _ = _em_view(B)
+    return _ml_view(_btrsm_lower_t_unrolled(Lem, Bem, 1), lead)
+
+
+def cholesky_ml(A: jax.Array, panel: int = PANEL) -> jax.Array:
+    """Blocked right-looking Cholesky of mat-last SPD ``[*lead, n, n]``.
+
+    Panel factorizations via the unrolled lane kernels; the trailing-matrix
+    update (the FLOP bulk) is one batched gemm per panel (MXU).
+    """
+    n = A.shape[-1]
+    if n <= panel:
+        return _panel_chol_ml(A)
+    strips = []  # per panel k: [*lead, n - k, p] columns of L
+    T = A
+    k = 0
+    while k < n:
+        p = min(panel, n - k)
+        L11 = _panel_chol_ml(T[..., :p, :p])
+        if n - k - p > 0:
+            A21t = jnp.swapaxes(T[..., p:, :p], -1, -2)  # [., p, r]
+            L21t = _panel_trsm_lower_ml(L11, A21t)       # L11 L21' = A21'
+            L21 = jnp.swapaxes(L21t, -1, -2)
+            T = T[..., p:, p:] - L21 @ L21t
+            strips.append(jnp.concatenate([L11, L21], axis=-2))
+        else:
+            strips.append(L11)
+        k += p
+    # Assemble lower-triangular L: pad each strip with zero rows on top.
+    cols = []
+    off = 0
+    for s in strips:
+        pad = [(0, 0)] * (s.ndim - 2) + [(off, 0), (0, 0)]
+        cols.append(jnp.pad(s, pad))
+        off += s.shape[-1]
+    return jnp.concatenate(cols, axis=-1)
+
+
+def trsm_lower_ml(L: jax.Array, B: jax.Array, panel: int = PANEL) -> jax.Array:
+    """Solve ``L X = B`` (lower-triangular, mat-last) by panel substitution:
+    off-diagonal eliminations are batched gemms."""
+    n = L.shape[-1]
+    if n <= panel:
+        return _panel_trsm_lower_ml(L, B)
+    Xs = []
+    offs = []
+    k = 0
+    while k < n:
+        p = min(panel, n - k)
+        R = B[..., k : k + p, :]
+        for j0, Xj in zip(offs, Xs):
+            pj = Xj.shape[-2]
+            R = R - L[..., k : k + p, j0 : j0 + pj] @ Xj
+        Xs.append(_panel_trsm_lower_ml(L[..., k : k + p, k : k + p], R))
+        offs.append(k)
+        k += p
+    return jnp.concatenate(Xs, axis=-2)
+
+
+def trsm_lower_t_ml(L: jax.Array, B: jax.Array, panel: int = PANEL) -> jax.Array:
+    """Solve ``L' X = B`` (mat-last), reverse panel substitution."""
+    n = L.shape[-1]
+    if n <= panel:
+        return _panel_trsm_lower_t_ml(L, B)
+    bounds = []
+    k = 0
+    while k < n:
+        p = min(panel, n - k)
+        bounds.append((k, p))
+        k += p
+    Xs = [None] * len(bounds)
+    for i in reversed(range(len(bounds))):
+        k, p = bounds[i]
+        R = B[..., k : k + p, :]
+        for j in range(i + 1, len(bounds)):
+            kj, pj = bounds[j]
+            # (L')[k block, j block] = L[j block, k block]'
+            Lblk = jnp.swapaxes(L[..., kj : kj + pj, k : k + p], -1, -2)
+            R = R - Lblk @ Xs[j]
+        Xs[i] = _panel_trsm_lower_t_ml(L[..., k : k + p, k : k + p], R)
+    return jnp.concatenate(Xs, axis=-2)
+
+
+def lu_ml(A: jax.Array, panel: int = PANEL):
+    """Blocked unpivoted LU of mat-last ``[*lead, n, n]``.
+
+    Returns packed ``LU`` (unit-lower below, U on/above the diagonal).
+    No pivoting: intended for the well-conditioned ``I + C J`` blocks of
+    the parallel-scan combine (eigenvalues >= 1); see :func:`blu_factor`.
+    """
+    n = A.shape[-1]
+    strips_L = []  # [*lead, n-k, p]
+    strips_U = []  # [*lead, p, n-k-p] U12 rows
+    T = A
+    k = 0
+    bounds = []
+    while k < n:
+        p = min(panel, n - k)
+        bounds.append((k, p))
+        blk = T[..., :p, :p]
+        em, lead = _em_view(blk)
+        LUp, dinv = blu_factor(em, 1)
+        LU11 = _ml_view(LUp, lead)
+        r = T.shape[-1] - p
+        if r > 0:
+            # L21 = A21 U11^{-1}  <=>  U11' L21' = A21' (lower-tri solve
+            # with U11's diagonal).
+            U11t = jnp.swapaxes(jnp.triu(LU11), -1, -2)
+            A21t = jnp.swapaxes(T[..., p:, :p], -1, -2)
+            L21 = jnp.swapaxes(_panel_trsm_lower_ml(U11t, A21t), -1, -2)
+            # U12 = L11^{-1} A12 (unit-lower solve).
+            L11 = jnp.tril(LU11, -1) + jnp.eye(p, dtype=A.dtype)
+            U12 = _panel_trsm_lower_ml(L11, T[..., :p, p:])
+            T = T[..., p:, p:] - L21 @ U12
+            strips_L.append(jnp.concatenate([LU11, L21], axis=-2))
+            strips_U.append(U12)
+        else:
+            strips_L.append(LU11)
+            strips_U.append(None)
+        k += p
+    # Assemble packed LU.
+    cols = []
+    off = 0
+    for s in strips_L:
+        pad = [(0, 0)] * (s.ndim - 2) + [(off, 0), (0, 0)]
+        cols.append(jnp.pad(s, pad))
+        off += s.shape[-1]
+    LU = jnp.concatenate(cols, axis=-1)
+    off = 0
+    for (k0, p), U12 in zip(bounds, strips_U):
+        if U12 is not None:
+            pad = [(0, 0)] * (U12.ndim - 2) + [(k0, n - k0 - p), (k0 + p, 0)]
+            LU = LU + jnp.pad(U12, pad)
+        off += p
+    return LU
+
+
+def lu_solve_ml(LU: jax.Array, B: jax.Array, panel: int = PANEL) -> jax.Array:
+    """Solve ``A X = B`` given :func:`lu_ml` output (mat-last)."""
+    n = LU.shape[-1]
+    L = jnp.tril(LU, -1) + jnp.eye(n, dtype=LU.dtype)
+    Y = trsm_lower_ml(L, B, panel)
+    # U X = Y: U' is lower with U's diagonal -> reuse the reverse-panel
+    # transposed solve on U'.
+    Ut = jnp.swapaxes(jnp.triu(LU), -1, -2)
+    # (U')' X = Y with U' lower  <=>  trsm_lower_t on L := U'.
+    return trsm_lower_t_ml_general(Ut, Y, panel)
+
+
+def trsm_lower_t_ml_general(L: jax.Array, B: jax.Array, panel: int = PANEL):
+    """Like :func:`trsm_lower_t_ml` but without assuming a Cholesky factor
+    (used for ``U X = Y`` via ``L = U'``)."""
+    return trsm_lower_t_ml(L, B, panel)
+
+
+def solve_ml(A: jax.Array, B: jax.Array, panel: int = PANEL) -> jax.Array:
+    """General mat-last solve via blocked unpivoted LU (see :func:`lu_ml`
+    for the conditioning caveat)."""
+    return lu_solve_ml(lu_ml(A, panel), B, panel)

@@ -118,3 +118,57 @@ def test_blu_factor_solve(n, nbatch):
     np.testing.assert_allclose(
         np.asarray(la.blu_solve_t(LU, dinv, Bt, nbatch)), np.asarray(X), atol=1e-8
     )
+
+
+def test_blocked_cholesky_ml_matches_dense():
+    """Blocked panel Cholesky (mat-last, MXU path) vs numpy, n=36 > panel."""
+    import numpy as np
+    from rslqr_tpu import linalg as la
+
+    rng = np.random.default_rng(0)
+    B, n = 5, 36
+    A = rng.standard_normal((B, n, n))
+    spd = A @ np.swapaxes(A, -1, -2) + 10.0 * np.eye(n)
+    L = np.asarray(la.cholesky_ml(jnp.asarray(spd)))
+    np.testing.assert_allclose(L, np.linalg.cholesky(spd), atol=1e-9)
+    # Through the dispatch (batch-last layout).
+    spd_bl = np.moveaxis(spd, 0, -1)
+    L2 = np.asarray(la.bcholesky(jnp.asarray(spd_bl), 1))
+    np.testing.assert_allclose(np.moveaxis(L2, -1, 0), L, atol=1e-9)
+
+
+def test_blocked_trsm_ml_matches_dense():
+    import numpy as np
+    from rslqr_tpu import linalg as la
+
+    rng = np.random.default_rng(1)
+    B, n, w = 4, 36, 20
+    A = rng.standard_normal((B, n, n))
+    L = np.tril(A) + 10.0 * np.eye(n)
+    Bm = rng.standard_normal((B, n, w))
+    X = np.asarray(la.trsm_lower_ml(jnp.asarray(L), jnp.asarray(Bm)))
+    np.testing.assert_allclose(L @ X, Bm, atol=1e-8)
+    Xt = np.asarray(la.trsm_lower_t_ml(jnp.asarray(L), jnp.asarray(Bm)))
+    np.testing.assert_allclose(np.swapaxes(L, -1, -2) @ Xt, Bm, atol=1e-8)
+
+
+def test_blocked_lu_solve_ml_matches_dense():
+    import numpy as np
+    from rslqr_tpu import linalg as la
+
+    rng = np.random.default_rng(2)
+    B, n, w = 4, 36, 74
+    C = rng.standard_normal((B, n, n))
+    A = np.eye(n) + 0.1 * (C @ np.swapaxes(C, -1, -2))  # I + PSD: wellcond
+    Bm = rng.standard_normal((B, n, w))
+    X = np.asarray(la.solve_ml(jnp.asarray(A), jnp.asarray(Bm)))
+    np.testing.assert_allclose(A @ X, Bm, atol=1e-7)
+    # Through the bsolve dispatch.
+    X2 = np.asarray(
+        la.bsolve(
+            jnp.asarray(np.moveaxis(A, 0, -1)),
+            jnp.asarray(np.moveaxis(Bm, 0, -1)),
+            1,
+        )
+    )
+    np.testing.assert_allclose(np.moveaxis(X2, -1, 0), X, atol=1e-7)
