@@ -42,8 +42,12 @@ def bgemm(A: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
     ``dot_general`` (MXU) with the batch axes as dot batch dims.
     """
     q = A.shape[-(nbatch + 1)]
-    if q > MXU_BLOCK_THRESHOLD:
+    if q > MXU_BLOCK_THRESHOLD and nbatch == 0:
+        # Mat-last world (vmap / single problem): native MXU dot_general.
         return _bgemm_mxu(A, B, nbatch)
+    # Batch-last: the reduce formulation keeps the batch on the lanes at
+    # ANY contraction size (mid-size blocks included — routing them through
+    # the MXU costs a transpose pair plus a 3.6x tile-padding tax).
     # A: [..., p, q, *b] -> [..., p, q, 1, *b]
     # B: [..., q, r, *b] -> [..., 1, q, r, *b]
     # XLA fuses the broadcast-multiply-reduce into one pass; an unrolled
@@ -125,9 +129,13 @@ def bcholesky(A: jax.Array, nbatch: int = 1) -> jax.Array:
     n = A.shape[-(nbatch + 2)]
     if n > MXU_BLOCK_THRESHOLD:
         # XLA TPU's batched Cholesky custom call serializes per column
-        # (~4 GFLOP/s measured at batched 36x36); the blocked panel
-        # factorization keeps the bulk on the MXU.
-        return _from_mat_last(cholesky_ml(_to_mat_last(A, nbatch)), nbatch)
+        # (~4 GFLOP/s measured at batched 36x36); blocked panel
+        # factorizations keep the bulk in gemms. Batch-last inputs stay
+        # lane-major; mat-last (nbatch == 0, the vmap world) uses the
+        # mat-last variant.
+        if nbatch == 0:
+            return _from_mat_last(cholesky_ml(_to_mat_last(A, nbatch)), nbatch)
+        return _cholesky_bl_blocked(A, nbatch)
     return _bcholesky_unrolled(A, nbatch)
 
 
@@ -170,6 +178,9 @@ def btrsm_lower(L: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
     """
     n = L.shape[-(nbatch + 2)]
     if n > MXU_BLOCK_THRESHOLD:
+        if nbatch >= 1:
+            Lb, Bb = _bcast_blocks(L, B, nbatch)
+            return _btrsm_lower_bl_blocked(Lb, Bb, nbatch)
         Lm, Bm = _bcast_mat_last(L, B, nbatch)
         X = jax.lax.linalg.triangular_solve(
             Lm, Bm, left_side=True, lower=True, transpose_a=False
@@ -202,6 +213,9 @@ def btrsm_lower_t(L: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
     """Solve ``L' X = B`` (transposed lower = upper), unrolled back-substitution."""
     n = L.shape[-(nbatch + 2)]
     if n > MXU_BLOCK_THRESHOLD:
+        if nbatch >= 1:
+            Lb, Bb = _bcast_blocks(L, B, nbatch)
+            return _btrsm_lower_t_bl_blocked(Lb, Bb, nbatch)
         Lm, Bm = _bcast_mat_last(L, B, nbatch)
         X = jax.lax.linalg.triangular_solve(
             Lm, Bm, left_side=True, lower=True, transpose_a=True
@@ -229,6 +243,16 @@ def _btrsm_lower_t_unrolled(L: jax.Array, B: jax.Array, nbatch: int) -> jax.Arra
             s = s - jnp.expand_dims(at(L, k, i), -(nbatch + 1)) * xs[k]
         xs[i] = s / jnp.expand_dims(at(L, i, i), -(nbatch + 1))
     return jnp.stack(xs, axis=-(nbatch + 2))
+
+
+def _bcast_blocks(L: jax.Array, B: jax.Array, nbatch: int):
+    """Broadcast leading grid dims of two block arrays (batch-last kept)."""
+    lead = jnp.broadcast_shapes(
+        L.shape[: L.ndim - 2 - nbatch], B.shape[: B.ndim - 2 - nbatch]
+    )
+    L = jnp.broadcast_to(L, lead + L.shape[L.ndim - 2 - nbatch:])
+    B = jnp.broadcast_to(B, lead + B.shape[B.ndim - 2 - nbatch:])
+    return L, B
 
 
 def _bcast_mat_last(L: jax.Array, B: jax.Array, nbatch: int):
@@ -279,6 +303,9 @@ def bsolve(A: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
         # XLA's batched LU factor is column-serialized like its Cholesky;
         # route through the blocked unpivoted LU (sole large-block user is
         # the scan combine's well-conditioned I + C J — see lu_ml).
+        if nbatch >= 1:
+            Ab, Bb = _bcast_blocks(A, B, nbatch)
+            return _solve_bl_blocked(Ab, Bb, nbatch)
         Am, Bm = _bcast_mat_last(A, B, nbatch)
         return _from_mat_last(solve_ml(Am, Bm), nbatch)
 
@@ -655,3 +682,177 @@ def solve_ml(A: jax.Array, B: jax.Array, panel: int = PANEL) -> jax.Array:
     """General mat-last solve via blocked unpivoted LU (see :func:`lu_ml`
     for the conditioning caveat)."""
     return lu_solve_ml(lu_ml(A, panel), B, panel)
+
+
+# ---------------------------------------------------------------------------
+# Blocked (panel) factorizations in BATCH-LAST layout.
+#
+# For natively-batched arrays ``[..., n, n, *b]`` (instances on the lane
+# axis) the mat-last algorithms above would park the tiny block dims on the
+# (sublane, lane) tiles: a 36x36 block occupies 36/128 lanes — a 3.6x
+# bandwidth tax on every op. These variants keep the batch on the lanes:
+# panels run the unrolled lane kernels DIRECTLY (no transposes), and the
+# O(n^3) bulk is the broadcast-multiply-reduce gemm (VPU at full lane
+# occupancy). This is the production path for mid-size blocks with
+# nbatch >= 1; nbatch == 0 (the vmap world) uses the mat-last versions.
+# ---------------------------------------------------------------------------
+
+
+def _blk(x: jax.Array, r0, r1, c0, c1, nbatch: int) -> jax.Array:
+    idx = (Ellipsis, slice(r0, r1), slice(c0, c1)) + (slice(None),) * nbatch
+    return x[idx]
+
+
+def _bgemm_reduce(A: jax.Array, B: jax.Array, nbatch: int) -> jax.Array:
+    """Broadcast-multiply-reduce gemm (lane-major; any contraction size)."""
+    q_axis = -(nbatch + 1)
+    Ae = jnp.expand_dims(A, q_axis)
+    Be = jnp.expand_dims(B, -(nbatch + 3))
+    return jnp.sum(Ae * Be, axis=-(nbatch + 2))
+
+
+def _cholesky_bl_blocked(A: jax.Array, nbatch: int, panel: int = PANEL):
+    """Blocked right-looking Cholesky, batch-last ``[..., n, n, *b]``."""
+    n = A.shape[-(nbatch + 2)]
+    ra, ca = -(nbatch + 2), -(nbatch + 1)
+    strips = []
+    T = A
+    k = 0
+    while k < n:
+        p = min(panel, n - k)
+        r = T.shape[ra] - p
+        L11 = _bcholesky_unrolled(_blk(T, 0, p, 0, p, nbatch), nbatch)
+        if r > 0:
+            A21t = transpose_block(_blk(T, p, p + r, 0, p, nbatch), nbatch)
+            L21t = _btrsm_lower_unrolled(L11, A21t, nbatch)  # [., p, r, *b]
+            L21 = transpose_block(L21t, nbatch)
+            T = _blk(T, p, p + r, p, p + r, nbatch) - _bgemm_reduce(
+                L21, L21t, nbatch
+            )
+            strips.append(jnp.concatenate([L11, L21], axis=ra))
+        else:
+            strips.append(L11)
+        k += p
+    cols = []
+    off = 0
+    for s in strips:
+        pad = [(0, 0)] * s.ndim
+        pad[ra] = (off, 0)
+        cols.append(jnp.pad(s, pad))
+        off += s.shape[ca]
+    return jnp.concatenate(cols, axis=ca)
+
+
+def _panel_bounds(n: int, panel: int):
+    out = []
+    k = 0
+    while k < n:
+        p = min(panel, n - k)
+        out.append((k, p))
+        k += p
+    return out
+
+
+def _btrsm_lower_bl_blocked(L, B, nbatch: int, panel: int = PANEL):
+    """Solve ``L X = B`` (batch-last) by panel substitution; eliminations
+    are lane-major gemms."""
+    n = L.shape[-(nbatch + 2)]
+    ra = -(nbatch + 2)
+    Xs, offs = [], []
+    for k, p in _panel_bounds(n, panel):
+        R = _blk(B, k, k + p, 0, B.shape[-(nbatch + 1)], nbatch)
+        for (j0, pj), Xj in zip(offs, Xs):
+            R = R - _bgemm_reduce(_blk(L, k, k + p, j0, j0 + pj, nbatch), Xj, nbatch)
+        Xs.append(
+            _btrsm_lower_unrolled(_blk(L, k, k + p, k, k + p, nbatch), R, nbatch)
+        )
+        offs.append((k, p))
+    return jnp.concatenate(Xs, axis=ra)
+
+
+def _btrsm_lower_t_bl_blocked(L, B, nbatch: int, panel: int = PANEL):
+    """Solve ``L' X = B`` (batch-last), reverse panel substitution."""
+    n = L.shape[-(nbatch + 2)]
+    ra = -(nbatch + 2)
+    w = B.shape[-(nbatch + 1)]
+    bounds = _panel_bounds(n, panel)
+    Xs = [None] * len(bounds)
+    for i in reversed(range(len(bounds))):
+        k, p = bounds[i]
+        R = _blk(B, k, k + p, 0, w, nbatch)
+        for j in range(i + 1, len(bounds)):
+            kj, pj = bounds[j]
+            Lblk = transpose_block(_blk(L, kj, kj + pj, k, k + p, nbatch), nbatch)
+            R = R - _bgemm_reduce(Lblk, Xs[j], nbatch)
+        Xs[i] = _btrsm_lower_t_unrolled(
+            _blk(L, k, k + p, k, k + p, nbatch), R, nbatch
+        )
+    return jnp.concatenate(Xs, axis=ra)
+
+
+def _lu_bl_blocked(A: jax.Array, nbatch: int, panel: int = PANEL):
+    """Blocked unpivoted LU, batch-last. Returns packed LU (same
+    conditioning caveat as :func:`lu_ml`)."""
+    n = A.shape[-(nbatch + 2)]
+    ra, ca = -(nbatch + 2), -(nbatch + 1)
+    dtype = A.dtype
+    bounds = _panel_bounds(n, panel)
+    strips_L, strips_U = [], []
+    T = A
+    for k, p in bounds:
+        r = T.shape[ra] - p
+        blk = _blk(T, 0, p, 0, p, nbatch)
+        LUp, _ = blu_factor(blk, nbatch)
+        if r > 0:
+            eye = beye(p, A, nbatch)
+            tri_shape = (p, p) + (1,) * nbatch
+            upper_mask = jnp.triu(jnp.ones((p, p), bool)).reshape(tri_shape)
+            U11 = jnp.where(upper_mask, LUp, 0.0)
+            L11 = jnp.where(upper_mask, 0.0, LUp) + eye
+            A21t = transpose_block(_blk(T, p, p + r, 0, p, nbatch), nbatch)
+            # L21 = A21 U11^{-1}  <=>  U11' L21' = A21'.
+            L21 = transpose_block(
+                _btrsm_lower_unrolled(transpose_block(U11, nbatch), A21t, nbatch),
+                nbatch,
+            )
+            U12 = _btrsm_lower_unrolled(
+                L11, _blk(T, 0, p, p, p + r, nbatch), nbatch
+            )
+            T = _blk(T, p, p + r, p, p + r, nbatch) - _bgemm_reduce(
+                L21, U12, nbatch
+            )
+            strips_L.append(jnp.concatenate([LUp, L21], axis=ra))
+            strips_U.append(U12)
+        else:
+            strips_L.append(LUp)
+            strips_U.append(None)
+    cols = []
+    off = 0
+    for s in strips_L:
+        pad = [(0, 0)] * s.ndim
+        pad[ra] = (off, 0)
+        cols.append(jnp.pad(s, pad))
+        off += s.shape[ca]
+    LU = jnp.concatenate(cols, axis=ca)
+    for (k0, p), U12 in zip(bounds, strips_U):
+        if U12 is not None:
+            pad = [(0, 0)] * U12.ndim
+            pad[ra] = (k0, n - k0 - p)
+            pad[ca] = (k0 + p, 0)
+            LU = LU + jnp.pad(U12, pad)
+    return LU
+
+
+def _lu_solve_bl_blocked(LU, B, nbatch: int, panel: int = PANEL):
+    n = LU.shape[-(nbatch + 2)]
+    tri_shape = (n, n) + (1,) * nbatch
+    upper_mask = jnp.triu(jnp.ones((n, n), bool)).reshape(tri_shape)
+    L = jnp.where(upper_mask, 0.0, LU) + beye(n, LU, nbatch)
+    U = jnp.where(upper_mask, LU, 0.0)
+    Y = _btrsm_lower_bl_blocked(L, B, nbatch, panel)
+    # U X = Y via the transposed-lower reverse substitution on U'.
+    return _btrsm_lower_t_bl_blocked(transpose_block(U, nbatch), Y, nbatch, panel)
+
+
+def _solve_bl_blocked(A, B, nbatch: int, panel: int = PANEL):
+    return _lu_solve_bl_blocked(_lu_bl_blocked(A, nbatch, panel), B, nbatch, panel)

@@ -223,9 +223,10 @@ def _profile_solve_em(prob: LQRProblem, repeats: int = 3) -> SolveProfile:
     total = jax.jit(rslqr.solve_kkt)
 
     def run_phases(p: Optional[SolveProfile]):
-        A, B, qinv, rinv, Ss = products0(pbl)
-        if p is not None:
-            p.t_products_ms += _timed(products0, pbl)
+        if kernel_leaf:
+            A, B, qinv, rinv, Ss = products0(pbl)
+            if p is not None:
+                p.t_products_ms += _timed(products0, pbl)
         ex = None
         Fls = Fxs = Fus = None
         for level in range(depth):

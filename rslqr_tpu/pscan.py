@@ -368,7 +368,9 @@ def solve_pscan(prob: LQRProblem) -> RiccatiSolution:
     """
     nb = prob.A.ndim - 3
     n_, m_ = prob.A.shape[-2], prob.B.shape[-1]
-    if nb and max(n_, m_) > la.MXU_BLOCK_THRESHOLD:
+    from .config import config as _config
+
+    if nb and max(n_, m_) > la.MXU_BLOCK_THRESHOLD and _config.layout == "auto":
         bshape = prob.A.shape[:nb]
         flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[nb:]), prob)
         sol = jax.vmap(solve_pscan)(flat)

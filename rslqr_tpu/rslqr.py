@@ -511,7 +511,7 @@ def solve(
         return rslqr_em.solve_em(prob, tables, options=opts)
     nb = _num_batch_axes(prob)
     n_, m_ = prob.A.shape[-2], prob.B.shape[-1]
-    if nb and max(n_, m_) > opts.mxu_block_threshold:
+    if nb and max(n_, m_) > opts.mxu_block_threshold and opts.layout == "auto":
         # Large-block fast path: vmap the single-problem solve over the
         # scenario axis. At nbatch=0 the mat-last adapters in linalg are
         # identities, so everything lowers to natively-batched MXU

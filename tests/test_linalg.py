@@ -172,3 +172,48 @@ def test_blocked_lu_solve_ml_matches_dense():
         )
     )
     np.testing.assert_allclose(np.moveaxis(X2, -1, 0), X, atol=1e-7)
+
+
+def test_blocked_batchlast_cholesky_trsm():
+    """Batch-last blocked Cholesky/TRSM (lane-major mid-block path)."""
+    import numpy as np
+    from rslqr_tpu import linalg as la
+
+    rng = np.random.default_rng(3)
+    G, n, B = 3, 36, 7
+    A = rng.standard_normal((G, n, n, B))
+    spd = np.einsum("gijb,gkjb->gikb", A, A) + 10.0 * np.eye(n)[None, :, :, None]
+    L = np.asarray(la.bcholesky(jnp.asarray(spd), 1))
+    rec = np.einsum("gijb,gkjb->gikb", L, L)
+    np.testing.assert_allclose(rec, spd, atol=1e-8)
+    assert np.allclose(np.triu(np.moveaxis(L, -1, 1), 1), 0.0)
+
+    w = 20
+    Bm = rng.standard_normal((G, n, w, B))
+    X = np.asarray(la.btrsm_lower(jnp.asarray(L), jnp.asarray(Bm), 1))
+    np.testing.assert_allclose(np.einsum("gijb,gjwb->giwb", L, X), Bm, atol=1e-7)
+    Xt = np.asarray(la.btrsm_lower_t(jnp.asarray(L), jnp.asarray(Bm), 1))
+    np.testing.assert_allclose(
+        np.einsum("gjib,gjwb->giwb", L, Xt), Bm, atol=1e-7
+    )
+    # Full round trip through bcho_solve: (L L') Y == Bm.
+    Y = np.asarray(la.bcho_solve(jnp.asarray(L), jnp.asarray(Bm), 1))
+    LLt_Y = np.einsum(
+        "gijb,gjwb->giwb", L,
+        np.einsum("gjib,gjwb->giwb", L, Y),
+    )
+    np.testing.assert_allclose(LLt_Y, Bm, atol=1e-6)
+
+
+def test_blocked_batchlast_solve():
+    import numpy as np
+    from rslqr_tpu import linalg as la
+
+    rng = np.random.default_rng(4)
+    G, n, w, B = 2, 36, 74, 5
+    C = rng.standard_normal((G, n, n, B))
+    # I + PSD (the scan combine's conditioning): A[g,:,:,b] = I + 0.1 C C'.
+    A = 0.1 * np.einsum("gijb,gkjb->gikb", C, C) + np.eye(n)[None, :, :, None]
+    Bm = rng.standard_normal((G, n, w, B))
+    X = np.asarray(la.bsolve(jnp.asarray(A), jnp.asarray(Bm), 1))
+    np.testing.assert_allclose(np.einsum("gijb,gjwb->giwb", A, X), Bm, atol=1e-6)
