@@ -308,6 +308,31 @@ def _sweep_level_core(prob, level: int, depth: int, Fls, Fxs, Fus, chols, nb: in
     _stage_schur(level, depth, Fls, Fxs, Fus, Ss, fsols, nb)
 
 
+def _chol_cache_set(chol_pad: jax.Array, level: int, vals: jax.Array):
+    """Write level-``level`` Sbar Cholesky factors into the packed cache.
+
+    Level-L nodes sit at indices ``(2j+1) 2^L - 1`` — a regular stride, so
+    the scatter is a free reshape + unit-index ``set`` (dynamic-update-
+    slice) instead of a gather/scatter, whose XLA lowering needs scoped
+    VMEM proportional to the block size (40MB at n=36 — it OOM'd).
+    ``chol_pad`` must be padded to N rows.
+    """
+    N = chol_pad.shape[0]
+    span = 2 << level
+    g = chol_pad.reshape((N // span, span) + chol_pad.shape[1:])
+    g = g.at[:, (1 << level) - 1].set(vals)
+    return g.reshape(chol_pad.shape)
+
+
+def _chol_cache_get(chol: jax.Array, level: int) -> jax.Array:
+    """Read level-``level`` factors from the packed cache (free slice)."""
+    Nm1 = chol.shape[0]
+    pad = jnp.concatenate([chol, chol[:1]], axis=0)
+    span = 2 << level
+    g = pad.reshape(((Nm1 + 1) // span, span) + chol.shape[1:])
+    return g[:, (1 << level) - 1]
+
+
 def _sweep_level(
     prob: LQRProblem, t: TreeTables, level: int, fact: RsLqrFactorization
 ) -> RsLqrFactorization:
@@ -320,8 +345,8 @@ def _sweep_level(
     Fus = [fact.Finput[u] for u in range(t.depth)]
     chols: list = []
     _sweep_level_core(prob, level, t.depth, Fls, Fxs, Fus, chols, nb)
-    idx = t.leaf_index[level]
-    chol = fact.chol.at[idx].set(chols[0])
+    pad = jnp.concatenate([fact.chol, fact.chol[:1]], axis=0)
+    chol = _chol_cache_set(pad, level, chols[0])[: fact.chol.shape[0]]
     return RsLqrFactorization(
         Flambda=jnp.stack(Fls),
         Fstate=jnp.stack(Fxs),
@@ -343,9 +368,10 @@ def _factorize_bl(
     chols: list = []
     for level in range(t.depth):
         _sweep_level_core(prob, level, t.depth, Fls, Fxs, Fus, chols, nb)
-    chol = jnp.zeros((N - 1, n, n) + prob.A.shape[3:], prob.A.dtype)
+    chol = jnp.zeros((N, n, n) + prob.A.shape[3:], prob.A.dtype)
     for level in range(t.depth):
-        chol = chol.at[t.leaf_index[level]].set(chols[level])
+        chol = _chol_cache_set(chol, level, chols[level])
+    chol = chol[: N - 1]
     fact = RsLqrFactorization(
         Flambda=jnp.stack(Fls),
         Fstate=jnp.stack(Fxs),
@@ -407,7 +433,7 @@ def _solve_rhs_bl(
     nb = fact.nbatch
     zy, zx, zu = rhs
     for level in range(t.depth):
-        Lc = fact.chol[t.leaf_index[level]]
+        Lc = _chol_cache_get(fact.chol, level)
         zy, zx, zu = _rhs_level_core(
             prob, level, fact.Flambda[level], fact.Fstate[level],
             fact.Finput[level], Lc, zy, zx, zu, nb,
