@@ -146,7 +146,7 @@ def _time_stats(fn, batch, reps, label):
     return times, compile_s
 
 
-def time_solver(name, kkt_fn, batch, batch_size, reps):
+def time_solver(name, kkt_fn, batch, batch_size, reps, k2_default=9):
     """Per-solver throughput statistics via the finite-difference method.
 
     Returns mean/std/min/median/max solves/s (the reference's kNruns
@@ -156,7 +156,7 @@ def time_solver(name, kkt_fn, batch, batch_size, reps):
     run-to-run variance of the long chain.
     """
     k1 = int(os.environ.get("BENCH_K1", "1"))
-    k2 = int(os.environ.get("BENCH_K2", "9"))
+    k2 = int(os.environ.get("BENCH_K2", str(k2_default)))
     t1s, c1 = _time_stats(_chained(kkt_fn, k1), batch, reps, f"{name} K={k1}")
     t2s, c2 = _time_stats(_chained(kkt_fn, k2), batch, reps, f"{name} K={k2}")
     t1_med = sorted(t1s)[len(t1s) // 2]
@@ -267,15 +267,23 @@ def main():
             results["refine_f32_kkt_residual"] = resr
 
     if quad_names:
-        qchunk = int(os.environ.get("BENCH_QUAD_CHUNK", "32"))
         qbatch = _quadruped_batch(qn, qb)
         jax.block_until_ready(qbatch)
         log(f"[bench] quadruped config B={qb} N={qn} nx=36 nu=12 "
-            f"chunk={qchunk} solvers={quad_names}")
+            f"solvers={quad_names}")
+        # Per-solver scenario-chunk defaults: largest that fits one chip's
+        # HBM for each program (rslqr's vmap grid state is leaner than the
+        # scan's element arrays).
         for name in quad_names:
+            qchunk = int(os.environ.get("BENCH_QUAD_CHUNK", "32"))
+            log(f"[bench] {name}_quadruped chunk={qchunk}")
             fn = _chunked(SOLVERS[name], qchunk)
+            # Short chains + fewer reps: quadruped programs run seconds per
+            # batched solve (a K=9 chain of the scan config previously ran
+            # ~100 s and crashed the tunnel worker).
             results[f"{name}_quadruped"] = time_solver(
-                f"{name}_quadruped", fn, qbatch, qb, reps
+                f"{name}_quadruped", fn, qbatch, qb,
+                min(reps, 3), k2_default=3,
             )
 
     timed = {k: v for k, v in results.items() if isinstance(v, dict)}

@@ -42,12 +42,12 @@ def bgemm(A: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
     ``dot_general`` (MXU) with the batch axes as dot batch dims.
     """
     q = A.shape[-(nbatch + 1)]
-    if q > MXU_BLOCK_THRESHOLD and nbatch == 0:
-        # Mat-last world (vmap / single problem): native MXU dot_general.
+    if q > MXU_BLOCK_THRESHOLD:
+        # MXU dot_general (batch axes as dot batch dims). A lane-major
+        # reduce formulation was tried for batch-last mid-blocks and lost:
+        # XLA materializes the 5-D multiply-reduce temps (2-4x padded),
+        # OOMing the quadruped config.
         return _bgemm_mxu(A, B, nbatch)
-    # Batch-last: the reduce formulation keeps the batch on the lanes at
-    # ANY contraction size (mid-size blocks included — routing them through
-    # the MXU costs a transpose pair plus a 3.6x tile-padding tax).
     # A: [..., p, q, *b] -> [..., p, q, 1, *b]
     # B: [..., q, r, *b] -> [..., 1, q, r, *b]
     # XLA fuses the broadcast-multiply-reduce into one pass; an unrolled
