@@ -36,8 +36,9 @@ def main():
         out = solve_seq_sharded(batch, mesh, "sp", "dp")
         print("dp x sp sharded (tree solver):", out.shape)
         ref = rt.solve_kkt(batch)
-        print("max diff vs single-device:",
-              float(jnp.max(jnp.abs(out - ref))))
+        scale = float(jnp.max(jnp.abs(ref)))
+        print("rel max diff vs single-device:",
+              float(jnp.max(jnp.abs(out - ref))) / scale)
 
         # Horizon-sharded parallel-scan Riccati: chunk-local scans, one
         # segment all_gather, O(n^2 D) traffic independent of N.
@@ -45,7 +46,7 @@ def main():
 
         out2 = solve_pscan_sharded(batch, mesh, "sp", "dp")
         print("dp x sp sharded (pscan):", out2.shape,
-              "max diff:", float(jnp.max(jnp.abs(out2 - ref))))
+              "rel max diff:", float(jnp.max(jnp.abs(out2 - ref))) / scale)
 
 
 if __name__ == "__main__":
