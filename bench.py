@@ -130,19 +130,32 @@ def _chained(kkt_fn, K):
     return jax.jit(run)
 
 
-def _time_stats(fn, batch, reps, label):
-    """Run ``fn`` reps times; returns (per-rep seconds, compile seconds)."""
+def _time_stats(fn, batch, reps, label, warmup=1):
+    """Run ``fn`` reps times; returns (per-rep seconds, compile seconds).
+
+    One warm-up run (discarded) follows compile+first: the first
+    post-compile execution on this tunnel is occasionally 3x slow
+    (BENCH_r03 pscan min 88.5k vs median 298.4k — VERDICT r3 weak #3);
+    per-rep times are logged so outliers stay diagnosable.
+    """
     t0 = time.time()
     float(fn(batch))  # compile + first run, forced to completion
     compile_s = time.time() - t0
     log(f"[bench] {label}: compile+first={compile_s:.1f}s")
+    for _ in range(warmup):
+        t0 = time.time()
+        float(fn(batch))
+        log(f"[bench] {label}: warmup {1e3*(time.time()-t0):.1f}ms (dropped)")
     times = []
     for _ in range(reps):
         t0 = time.time()
         float(fn(batch))  # scalar fetch forces real completion
         times.append(time.time() - t0)
     med = sorted(times)[len(times) // 2]
-    log(f"[bench] {label}: best {min(times)*1e3:.1f}ms median {med*1e3:.1f}ms")
+    log(
+        f"[bench] {label}: best {min(times)*1e3:.1f}ms median {med*1e3:.1f}ms"
+        f" reps={[round(t*1e3, 1) for t in times]}ms"
+    )
     return times, compile_s
 
 
@@ -189,6 +202,11 @@ def time_solver(name, kkt_fn, batch, batch_size, reps, k2_default=9):
         "ms_per_batched_solve": per_sorted[len(per_sorted) // 2] * 1e3,
         "compile_first_s": round(c1, 1),
         "compile_first_k2_s": round(c2, 1),
+        # K=1-only entries include the ~25-80ms per-dispatch tunnel
+        # overhead in every sample; the method field makes them
+        # distinguishable from finite-difference numbers in the artifact.
+        "method": "chained_mean_k1" if k2 == k1 else "finite_diff",
+        "rep_ms": [round(1e3 * t, 1) for t in (t1s if k2 == k1 else t2s)],
     }
     log(
         f"[bench] {name}: {out['ms_per_batched_solve']:.2f} ms/batched-solve "
@@ -196,6 +214,65 @@ def time_solver(name, kkt_fn, batch, batch_size, reps, k2_default=9):
         f"(mean {mean:,.0f} +- {std:,.0f})"
     )
     return out
+
+
+ACCURACY_BAR = 1e-6  # the reference's assertion (sample_problem_test.c:150)
+
+
+def accuracy_gate(results, batch, batch_size, nhorizon, reps):
+    """On-chip accuracy artifact + hard gate (VERDICT r3 missing #2/#3).
+
+    The reference's benchmark *is* a test: it times 100 solves AND asserts
+    rsLQR==golden < 1e-6 in the same run (sample_problem_test.c:140-157).
+    Here: refine.solve_refined_host factors/solves on the chip in f32 and
+    evaluates residuals in host numpy float64 — the artifact records the
+    f64 residual, the golden-solution agreement, AND the throughput of that
+    f64-accurate path. Returns False if the bar fails (bench exits nonzero).
+    """
+    from rslqr_tpu import refine as _refine
+
+    path = "/root/reference/lqr_prob_256.json"
+    golden = None
+    if nhorizon == 256 and os.path.exists(path):
+        prob64, golden = rt.read_lqr_problem_json(path, dtype=None)
+    else:
+        prob64 = jax.tree.map(
+            lambda x: np.asarray(x, np.float64),
+            rt.double_integrator_problem(nhorizon, dtype=jnp.float32),
+        )
+    iters = int(os.environ.get("BENCH_REFINE_F64_ITERS", "3"))
+    kkt, res = _refine.solve_refined_host(prob64, iterations=iters)
+    results["refined_f64_residual"] = res
+    log(f"[bench] refined f64 ({iters} iters) KKT residual: {res:.3e}")
+    ok = res < ACCURACY_BAR
+    if golden is not None:
+        dg = float(np.max(np.abs(kkt - golden)))
+        results["refined_f64_vs_golden"] = dg
+        log(f"[bench] refined f64 max |kkt - golden|: {dg:.3e}")
+        ok = ok and dg < ACCURACY_BAR
+
+    # Throughput of the same f64-accurate path on the batched config
+    # (device f32 factor+solves + host f64 residual round trips).
+    def run(b):
+        out, _ = _refine.solve_refined_host(b, iterations=iters)
+        return float(out.sum())
+
+    times, compile_s = _time_stats(
+        run, batch, min(reps, 3), "refined_f64_host", warmup=1
+    )
+    med = sorted(times)[len(times) // 2]
+    sps = batch_size / med
+    results["refined_f64_solves_per_s"] = round(sps, 1)
+    results["refined_f64_detail"] = {
+        "ms_per_batched_solve": round(med * 1e3, 1),
+        "compile_first_s": round(compile_s, 1),
+        "method": "wall_clock_host_loop",
+        "rep_ms": [round(1e3 * t, 1) for t in times],
+    }
+    log(f"[bench] refined_f64_host: {sps:,.0f} solves/s (wall, incl. host residuals)")
+    if not ok:
+        log(f"[bench] ACCURACY GATE FAILED: bar {ACCURACY_BAR}")
+    return ok
 
 
 def _main_batch(nhorizon, batch_size):
@@ -279,6 +356,21 @@ def main():
             log(f"[bench] refined (2 iter) f32 KKT residual: {resr:.3e}")
             results["refine_f32_kkt_residual"] = resr
 
+        # On-chip f64-refined accuracy artifact + hard gate.
+        if not os.environ.get("BENCH_SKIP_ACCURACY"):
+            try:
+                gate_ok = accuracy_gate(
+                    results, batch, batch_size, nhorizon, reps
+                )
+            except Exception as e:
+                log(f"[bench] accuracy gate FAILED to run: {e}")
+                results["refined_f64_error"] = str(e)[:300]
+                gate_ok = False
+        else:
+            gate_ok = True
+    else:
+        gate_ok = True
+
     if quad_names:
         qbatch = _quadruped_batch(qn, qb)
         jax.block_until_ready(qbatch)
@@ -348,6 +440,11 @@ def main():
             }
         )
     )
+    if not gate_ok:
+        # The reference's benchmark asserts accuracy alongside speed
+        # (sample_problem_test.c:150-157); a silent numerical regression
+        # must not ship a green BENCH artifact.
+        sys.exit(1)
 
 
 if __name__ == "__main__":

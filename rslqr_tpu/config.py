@@ -128,6 +128,10 @@ class SolveOptions:
     snapshots the current global defaults.
     """
 
+    # ``mxu_block_threshold`` reaches BOTH the solver-level layout/kernel
+    # routing and linalg's internal small-block/MXU dispatch: entry points
+    # scope it via ``linalg.block_threshold`` so every linalg call traced
+    # inside a solve sees the per-call value (no global mutation needed).
     layout: str = "auto"
     pallas: str = "auto"
     factor_dtype: str = ""

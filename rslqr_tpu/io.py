@@ -81,7 +81,7 @@ def read_lqr_problem_json(
     def stack(key, shape):
         return np.stack([kd[key].reshape(shape) for kd in knots])
 
-    prob = problem_from_arrays(
+    arrays = dict(
         A=stack("A", (n, n)),
         B=stack("B", (n, m)),
         f=stack("d", (n,)),
@@ -91,7 +91,17 @@ def read_lqr_problem_json(
         r=stack("r", (m,)),
         c=np.array([kd["c"] for kd in knots]),
         x0=x0,
-    ).astype(dtype)
+    )
+    if dtype is None:
+        # Full-precision numpy problem: float64 data WITHOUT requiring jax
+        # x64 mode — the input to refine.solve_refined_host on TPU, where
+        # the residuals are evaluated host-side in numpy float64.
+        from .problem import LQRProblem
+
+        prob = LQRProblem(**arrays)
+        prob.validate()
+    else:
+        prob = problem_from_arrays(**arrays).astype(dtype)
     soln = None
     if "soln" in obj:
         # The Julia generator writes the solution as a 1-column matrix.

@@ -20,7 +20,9 @@ trailing batch dims (which may be empty — single-problem use works too).
 
 from __future__ import annotations
 
-from typing import Tuple
+import contextlib
+import contextvars
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +34,112 @@ import jax.numpy as jnp
 # unrolling 36^3 scalar ops would explode the program).
 MXU_BLOCK_THRESHOLD = 8
 
+# Per-call override of the dispatch threshold (trace-time): solver entry
+# points set this from their resolved SolveOptions so a per-call
+# ``SolveOptions(mxu_block_threshold=...)`` steers BOTH the solver-level
+# layout routing and linalg's internal small-block/MXU branch (they
+# previously could disagree — the options value only reached the routing).
+_THRESHOLD_OVERRIDE: contextvars.ContextVar = contextvars.ContextVar(
+    "rslqr_mxu_threshold", default=None
+)
+
+
+def small_block_threshold() -> int:
+    """The active small-block/MXU dispatch point (override or global)."""
+    t = _THRESHOLD_OVERRIDE.get()
+    return MXU_BLOCK_THRESHOLD if t is None else t
+
+
+@contextlib.contextmanager
+def block_threshold(n: Optional[int]):
+    """Scope a dispatch-threshold override (used by solver entry points to
+    thread ``SolveOptions.mxu_block_threshold`` down to every linalg call
+    traced inside)."""
+    if n is None:
+        yield
+        return
+    tok = _THRESHOLD_OVERRIDE.set(n)
+    try:
+        yield
+    finally:
+        _THRESHOLD_OVERRIDE.reset(tok)
+
+
+# Pallas kernel mode for the mid-block planes gemm (ops/planes_pallas.py),
+# threaded from SolveOptions.pallas the same way as the threshold:
+# "auto" = compiled kernels on TPU / XLA elsewhere, "on" = compiled
+# everywhere applicable, "interpret" = interpreter mode (CPU tests),
+# "off" = XLA lowerings only.
+_PALLAS_OVERRIDE: contextvars.ContextVar = contextvars.ContextVar(
+    "rslqr_pallas_mode", default=None
+)
+
+
+def pallas_mode() -> str:
+    return _PALLAS_OVERRIDE.get() or "auto"
+
+
+@contextlib.contextmanager
+def pallas_ctx(mode: Optional[str]):
+    """Scope the Pallas dispatch mode for linalg's mid-block kernels."""
+    if mode is None:
+        yield
+        return
+    tok = _PALLAS_OVERRIDE.set(mode)
+    try:
+        yield
+    finally:
+        _PALLAS_OVERRIDE.reset(tok)
+
+
+def _planes_interpret() -> Optional[bool]:
+    """Resolve the planes-kernel dispatch: False = compiled, True =
+    interpret, None = don't use the kernel."""
+    mode = pallas_mode()
+    if mode == "off":
+        return None
+    if mode == "interpret":
+        return True
+    if mode == "on":
+        return False
+    return False if jax.default_backend() == "tpu" else None
+
+
+def _planes_gemm_maybe(
+    A: jax.Array, B: jax.Array, nbatch: int
+) -> Optional[jax.Array]:
+    """The element-plane Pallas gemm (ops/planes_pallas.py) when the
+    operands are flat batch-last slabs with a (8x128)-tileable plane;
+    ``None`` when not applicable (caller picks its fallback).
+    ``A``: [.., p, K, *b]; ``B``: [.., K, q, *b]."""
+    interp = _planes_interpret()
+    flat_ok = (
+        interp is not None
+        and A.ndim == 2 + nbatch
+        and B.ndim == 2 + nbatch
+        and A.shape[2:] == B.shape[2:]
+        and A.dtype == B.dtype
+        and (A.dtype == jnp.float32 or interp)
+    )
+    if not flat_ok:
+        return None
+    bshape = A.shape[2:]
+    F = 1
+    for s in bshape:
+        F *= s
+    if F % (8 * 128):
+        return None
+    from .ops.planes_pallas import pgemm
+
+    p, K = A.shape[:2]
+    q = B.shape[1]
+    out = pgemm(
+        A.reshape(p, K, F // 128, 128),
+        B.reshape(K, q, F // 128, 128),
+        interpret=interp,
+    )
+    return out.reshape((p, q) + bshape)
+
 
 def bgemm(A: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
     """Batched block matmul: ``[..., p, q, *b] @ [..., q, r, *b] -> [..., p, r, *b]``.
@@ -42,11 +150,17 @@ def bgemm(A: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
     ``dot_general`` (MXU) with the batch axes as dot batch dims.
     """
     q = A.shape[-(nbatch + 1)]
-    if q > MXU_BLOCK_THRESHOLD:
-        # MXU dot_general (batch axes as dot batch dims). A lane-major
-        # reduce formulation was tried for batch-last mid-blocks and lost:
-        # XLA materializes the 5-D multiply-reduce temps (2-4x padded),
-        # OOMing the quadruped config.
+    if q > small_block_threshold():
+        # Mid/large blocks: the element-plane Pallas kernel when the shapes
+        # fit (flat batch-last slabs — one fused HBM pass at full lane
+        # occupancy), else MXU dot_general (batch axes as dot batch dims).
+        # A lane-major XLA reduce formulation was tried for batch-last
+        # mid-blocks and lost: XLA materializes the 5-D multiply-reduce
+        # temps (2-4x padded), OOMing the quadruped config.
+        if nbatch >= 1:
+            out = _planes_gemm_maybe(A, B, nbatch)
+            if out is not None:
+                return out
         return _bgemm_mxu(A, B, nbatch)
     # A: [..., p, q, *b] -> [..., p, q, 1, *b]
     # B: [..., q, r, *b] -> [..., 1, q, r, *b]
@@ -127,7 +241,7 @@ def bcholesky(A: jax.Array, nbatch: int = 1) -> jax.Array:
     Cholesky with the block dims moved last.
     """
     n = A.shape[-(nbatch + 2)]
-    if n > MXU_BLOCK_THRESHOLD:
+    if n > small_block_threshold():
         # XLA TPU's batched Cholesky custom call serializes per column
         # (~4 GFLOP/s measured at batched 36x36); blocked panel
         # factorizations keep the bulk in gemms. Batch-last inputs stay
@@ -177,7 +291,7 @@ def btrsm_lower(L: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
     (linalg_custom.c:113-132). Large blocks use XLA's triangular_solve.
     """
     n = L.shape[-(nbatch + 2)]
-    if n > MXU_BLOCK_THRESHOLD:
+    if n > small_block_threshold():
         if nbatch >= 1:
             Lb, Bb = _bcast_blocks(L, B, nbatch)
             return _btrsm_lower_bl_blocked(Lb, Bb, nbatch)
@@ -212,7 +326,7 @@ def _btrsm_lower_unrolled(L: jax.Array, B: jax.Array, nbatch: int) -> jax.Array:
 def btrsm_lower_t(L: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
     """Solve ``L' X = B`` (transposed lower = upper), unrolled back-substitution."""
     n = L.shape[-(nbatch + 2)]
-    if n > MXU_BLOCK_THRESHOLD:
+    if n > small_block_threshold():
         if nbatch >= 1:
             Lb, Bb = _bcast_blocks(L, B, nbatch)
             return _btrsm_lower_t_bl_blocked(Lb, Bb, nbatch)
@@ -299,7 +413,7 @@ def bsolve(A: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
     blocks use XLA's batched LU solve instead.
     """
     n = A.shape[-(nbatch + 2)]
-    if n > MXU_BLOCK_THRESHOLD:
+    if n > small_block_threshold():
         # XLA's batched LU factor is column-serialized like its Cholesky;
         # route through the blocked unpivoted LU (sole large-block user is
         # the scan combine's well-conditioned I + C J — see lu_ml).
@@ -496,8 +610,9 @@ def beye(n: int, like: jax.Array, nbatch: int = 1) -> jax.Array:
 PANEL = 16
 
 
-def _em_view(x: jax.Array) -> jax.Array:
-    """Mat-last panel ``[*lead, p, q] -> [p, q, Bflat]`` for lane kernels."""
+def _em_view(x: jax.Array) -> Tuple[jax.Array, Tuple[int, ...]]:
+    """Mat-last panel ``[*lead, p, q] -> ([p, q, Bflat], lead_shape)`` for
+    the lane kernels (``lead_shape`` feeds :func:`_ml_view` to invert)."""
     lead = x.shape[:-2]
     p, q = x.shape[-2:]
     return jnp.moveaxis(x.reshape((-1, p, q)), 0, -1), lead
@@ -704,7 +819,13 @@ def _blk(x: jax.Array, r0, r1, c0, c1, nbatch: int) -> jax.Array:
 
 
 def _bgemm_reduce(A: jax.Array, B: jax.Array, nbatch: int) -> jax.Array:
-    """Broadcast-multiply-reduce gemm (lane-major; any contraction size)."""
+    """Mid-block gemm for the blocked batch-last factorizations: the
+    element-plane Pallas kernel when applicable, else the lane-major
+    broadcast-multiply-reduce formulation (fine for panel-sized leftovers;
+    pathological only at slab scale, which the kernel covers)."""
+    out = _planes_gemm_maybe(A, B, nbatch)
+    if out is not None:
+        return out
     q_axis = -(nbatch + 1)
     Ae = jnp.expand_dims(A, q_axis)
     Be = jnp.expand_dims(B, -(nbatch + 3))

@@ -1,0 +1,206 @@
+"""Pallas TPU kernels: mid-size-block linear algebra on element planes.
+
+The reference guarantees usable performance at every block size by swapping
+linear-algebra backends (``src/linalg.c:153-190``) and hand-writing kernels
+exactly where stock libraries fall short (``src/matmul.c:31-574``). On TPU
+the regime where the stock path falls short is mid-size blocks
+(8 < n <= ~64, e.g. the quadruped config's nx=36): XLA's batched Cholesky/LU
+custom calls serialize per column (~4 GFLOP/s measured at [8192, 36, 36]),
+and its batched ``dot_general`` pads the 36-wide operands onto 128-wide MXU
+tiles (~8% utilization). Neither layout fits the hardware.
+
+This module is the TPU-native answer, completing the dispatch at every size:
+
+* Arrays are **element-plane slabs** ``[p, K, P1, P2]``: each block element
+  ``(i, k)`` is a dense ``[P1, P2]`` plane carrying the (knot x batch) or
+  (scan x batch) grid on full (8, 128) float32 tiles — zero padding at ANY
+  block size, unlike the 36/128-lane occupancy of mat-last layouts.
+* A block matmul unrolls the (static, mid-size) contraction into K
+  plane-FMA statements on the VPU, looping over output block rows with the
+  row accumulator in registers. The O(n^3) FLOP bulk of the blocked panel
+  factorizations in :mod:`rslqr_tpu.linalg` routes through here; only the
+  tiny panel factorizations stay unrolled XLA lane code.
+* Each call is ONE fused HBM pass (read A, B, optional C-in; write C-out,
+  aliased onto C-in) — the XLA broadcast-multiply-reduce formulation of the
+  same contraction materializes padded 5-D temps and OOMs the quadruped
+  config (measured round 3).
+* :func:`schur_update_planes` additionally fuses the nested-dissection
+  Schur update's separator write-back and calc_lambda masking
+  (``ndlqr_UpdateShurFactor`` + ``ndlqr_ShouldCalcLambda``,
+  nested_dissection.c:154-177) into the same pass, with the knot index
+  recovered from the flattened plane position.
+
+Callers flatten arbitrary trailing batch dims ``*b`` to ``(F // 128, 128)``
+(a free reshape) before calling; dispatch helpers live in
+:mod:`rslqr_tpu.linalg` (``_bgemm_mid``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Plane-tile defaults: (T1 rows of 128 lanes) per grid step. T1=8 keeps the
+# four 36x36-block operands at ~21 MB of pipelined VMEM blocks.
+T1 = 8
+T2 = 128
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _gemm_kernel(*refs, p, K, q, ta, tbt, has_cin, sub, lam_level, logb, t1):
+    """Shared body: C[i, j] = sum_k A[i, k] * B[k, j] over [t1, t2] planes.
+
+    ``ta``: A is stored transposed ([K, p, ...], read A[k, i]).
+    ``tbt``: B is stored transposed ([q, K, ...], read B[j, k]).
+    ``has_cin``/``sub``: C = Cin -/+ A@B instead of plain A@B.
+    ``lam_level``: when >= 0, apply the Schur lambda-row masking for tree
+    level ``lam_level``: rows whose knot is a range start skip the update
+    (except knot 0) and separator+1 rows are overwritten with B's value
+    (the solved separator block) — nested_dissection.c:154-177 fused in.
+    ``logb``: log2(batch lanes per knot) for knot-id recovery from the
+    flattened plane position (plane element (r, c) is flat r*t2 + c).
+    """
+    if has_cin:
+        a_ref, b_ref, c_ref, o_ref = refs
+    else:
+        a_ref, b_ref, o_ref = refs
+
+    if lam_level >= 0:
+        # Plane element (row r, col c) of the flattened [P1, P2] grid holds
+        # flat index r * P2 + c; its knot is flat >> log2(batch width).
+        i0 = pl.program_id(0)
+        j0 = pl.program_id(1)
+        t2 = o_ref.shape[-1]
+        P2 = t2 * pl.num_programs(1)
+        flat = (
+            (i0 * t1 + jax.lax.broadcasted_iota(jnp.int32, (t1, t2), 0)) * P2
+            + j0 * t2
+            + jax.lax.broadcasted_iota(jnp.int32, (t1, t2), 1)
+        )
+        knots = flat >> logb
+        halfspan = 1 << lam_level
+        span = 2 << lam_level
+        keep = jnp.logical_or((knots & (halfspan - 1)) != 0, knots == 0)
+        sep = (knots & (span - 1)) == halfspan
+
+    def lhs(i, k):
+        return a_ref[k, i] if ta else a_ref[i, k]
+
+    def rhs(k):
+        return b_ref[:, k] if tbt else b_ref[k]
+
+    def body(i, _):
+        acc = rhs(0) * lhs(i, 0)[None]
+        for k in range(1, K):
+            acc = acc + rhs(k) * lhs(i, k)[None]
+        if lam_level >= 0:
+            v = c_ref[i] - jnp.where(keep[None], acc, 0.0)
+            o_ref[i] = jnp.where(sep[None], b_ref[i], v)
+        elif has_cin:
+            o_ref[i] = c_ref[i] - acc if sub else c_ref[i] + acc
+        else:
+            o_ref[i] = acc
+        return 0
+
+    jax.lax.fori_loop(0, p, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ta", "tbt", "sub", "lam_level", "logb", "interpret", "t1"
+    ),
+)
+def _pgemm_call(
+    A: jax.Array,            # [p, K, P1, P2] (or [K, p, ..] when ta)
+    B: jax.Array,            # [K, q, P1, P2] (or [q, K, ..] when tbt)
+    Cin: Optional[jax.Array] = None,  # [p, q, P1, P2], aliased to the output
+    *,
+    ta: bool = False,
+    tbt: bool = False,
+    sub: bool = True,
+    lam_level: int = -1,
+    logb: int = 0,
+    interpret: bool = False,
+    t1: int = T1,
+):
+    P1, P2 = A.shape[-2:]
+    p = A.shape[1] if ta else A.shape[0]
+    K = A.shape[0] if ta else A.shape[1]
+    q = B.shape[0] if tbt else B.shape[1]
+    t2 = min(T2, P2)
+    grid = (P1 // t1, P2 // t2)
+    spec = lambda d0, d1: pl.BlockSpec(
+        (d0, d1, t1, t2), lambda i, j: (0, 0, i, j)
+    )
+    in_specs = [
+        spec(*((K, p) if ta else (p, K))),
+        spec(*((q, K) if tbt else (K, q))),
+    ]
+    args = [A, B]
+    aliases = {}
+    if Cin is not None:
+        in_specs.append(spec(p, q))
+        args.append(Cin)
+        aliases[2] = 0
+    kernel = functools.partial(
+        _gemm_kernel, p=p, K=K, q=q, ta=ta, tbt=tbt,
+        has_cin=Cin is not None, sub=sub, lam_level=lam_level, logb=logb,
+        t1=t1,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=spec(p, q),
+        out_shape=jax.ShapeDtypeStruct((p, q, P1, P2), A.dtype),
+        input_output_aliases=aliases,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * p * K * q * P1 * P2,
+            bytes_accessed=4 * P1 * P2 * (
+                p * K + K * q + (2 * p * q if Cin is not None else p * q)
+            ),
+            transcendentals=0,
+        ),
+    )(*args)
+
+
+def pgemm(A, B, *, ta=False, tbt=False, interpret=False):
+    """Planewise block matmul ``C = op(A) @ op(B)`` on [.., P1, P2] slabs."""
+    return _pgemm_call(A, B, None, ta=ta, tbt=tbt, interpret=interpret)
+
+
+def pgemm_acc(A, B, Cin, *, sub=True, ta=False, tbt=False, interpret=False):
+    """``C = Cin -/+ op(A) @ op(B)`` in one fused pass; ``Cin`` is donated
+    (aliased onto the output)."""
+    return _pgemm_call(
+        A, B, Cin, ta=ta, tbt=tbt, sub=sub, interpret=interpret
+    )
+
+
+def schur_update_planes(
+    FL, fsol_full, Fin, *, level, lam, logb, interpret=False
+):
+    """Mid-block Schur update of one upper-level slab:
+
+      out = Fin - FL @ fsol          (x / u slabs, ``lam=False``)
+      out = where(sep+1, fsol, Fin - where(calc_lambda, FL @ fsol, 0))
+                                     (lambda slab, ``lam=True``)
+
+    All operands are flattened element-plane slabs [p|n, n, F//128, 128]
+    with ``fsol`` pre-broadcast over each group's knots; ``logb`` =
+    log2(batch width) recovers knot ids from plane positions.
+    Ref nested_dissection.c:154-177 / solve.c:119-131.
+    """
+    return _pgemm_call(
+        FL, fsol_full, Fin,
+        lam_level=level if lam else -1, logb=logb, sub=True,
+        interpret=interpret,
+    )

@@ -351,8 +351,11 @@ def rhs_update_level_em(
     )(Fl, Fx, Fu, zy, zx, zu, zbar)
 
 
-def _tiles(level: int, N: int, B: int, dtype, tb: int) -> Tuple[int, int, int, int]:
-    """Knot/batch tiling + group counts for one level."""
+def _tiles(
+    level: int, N: int, B: int, dtype, tb: int
+) -> Tuple[int, int, int, int, int]:
+    """Knot/batch tiling + group counts for one level:
+    ``(span, tk, gd, gd2, tb)``."""
     span = 1 << (level + 1)
     min_tk = 16 if dtype == jnp.bfloat16 else 8
     tk = min(max(2 * span, min_tk), 2 * min_tk, N)

@@ -78,19 +78,36 @@ def _local_elements(p: LQRProblem, d, D, nb: int):
     return (F, c, Cm, eta, J)
 
 
-@partial(jax.jit, static_argnames=("mesh", "sp_axis", "dp_axis"))
+@partial(jax.jit, static_argnames=("mesh", "sp_axis", "dp_axis", "options"))
 def solve_pscan_sharded(
     prob: LQRProblem,
     mesh: Mesh,
     sp_axis: str = "sp",
     dp_axis: Optional[str] = None,
+    options=None,
 ) -> jax.Array:
     """Horizon-sharded parallel-scan LQR solve over ``mesh[sp_axis]``.
 
     ``prob`` may carry leading batch axes (sharded over ``dp_axis`` when
     given). Returns the flat KKT vector(s) ``[*batch, nvars]`` with the same
-    values as :func:`rslqr_tpu.pscan.solve_pscan_kkt`.
+    values as :func:`rslqr_tpu.pscan.solve_pscan_kkt`. ``options`` (a static
+    :class:`rslqr_tpu.config.SolveOptions`) pins the linalg dispatch
+    threshold per call.
     """
+    from ..config import resolve_options
+
+    opts = resolve_options(options)
+    with la.block_threshold(opts.mxu_block_threshold), \
+            la.pallas_ctx(opts.pallas):
+        return _solve_pscan_sharded_impl(prob, mesh, sp_axis, dp_axis)
+
+
+def _solve_pscan_sharded_impl(
+    prob: LQRProblem,
+    mesh: Mesh,
+    sp_axis: str = "sp",
+    dp_axis: Optional[str] = None,
+) -> jax.Array:
     nb = prob.A.ndim - 3
     N = prob.A.shape[-3]
     D = mesh.shape[sp_axis]

@@ -164,19 +164,36 @@ def _top_lambda_mask(d, C, E, nb):
     return keep
 
 
-@partial(jax.jit, static_argnames=("mesh", "sp_axis", "dp_axis"))
+@partial(jax.jit, static_argnames=("mesh", "sp_axis", "dp_axis", "options"))
 def solve_seq_sharded(
     prob: LQRProblem,
     mesh: Mesh,
     sp_axis: str = "sp",
     dp_axis: Optional[str] = None,
+    options=None,
 ):
     """Horizon-sharded rsLQR solve over ``mesh[sp_axis]`` devices.
 
     ``prob`` may carry leading batch axes (sharded over ``dp_axis`` when
     given). Returns the flat KKT vector(s) ``[*batch, nvars]`` with the same
-    values as :func:`rslqr_tpu.rslqr.solve_kkt`.
+    values as :func:`rslqr_tpu.rslqr.solve_kkt`. ``options`` (a static
+    :class:`rslqr_tpu.config.SolveOptions`) pins the linalg dispatch
+    threshold per call.
     """
+    from ..config import resolve_options
+
+    opts = resolve_options(options)
+    with la.block_threshold(opts.mxu_block_threshold), \
+            la.pallas_ctx(opts.pallas):
+        return _solve_seq_sharded_impl(prob, mesh, sp_axis, dp_axis)
+
+
+def _solve_seq_sharded_impl(
+    prob: LQRProblem,
+    mesh: Mesh,
+    sp_axis: str = "sp",
+    dp_axis: Optional[str] = None,
+):
     nb = prob.A.ndim - 3
     N = prob.A.shape[-3]
     D = mesh.shape[sp_axis]

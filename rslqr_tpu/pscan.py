@@ -89,7 +89,7 @@ def _combine(e1, e2, nb: int):
         ],
         axis=-(nb + 1),
     )
-    if n <= la.MXU_BLOCK_THRESHOLD:
+    if n <= la.small_block_threshold():
         LU, dinv = la.blu_factor(IC, nb)
         sol = la.blu_solve(LU, dinv, rhs, nb)
     else:
@@ -130,7 +130,7 @@ def _combine_reduced(e1, pj2, nb: int):
     rhs = jnp.concatenate(
         [F1, jnp.expand_dims(la.bgemv(C1, w, nb), -(nb + 1))], axis=-(nb + 1)
     )
-    if n <= la.MXU_BLOCK_THRESHOLD:
+    if n <= la.small_block_threshold():
         LU, dinv = la.blu_factor(IC, nb)
         sol = la.blu_solve(LU, dinv, rhs, nb)
     else:
@@ -144,36 +144,65 @@ def _combine_reduced(e1, pj2, nb: int):
     return eta, J
 
 
-def _tree_slice(elems, sl):
-    return tuple(x[sl] for x in elems)
+def _sc(x: jax.Array, sl, em: bool = False) -> jax.Array:
+    """Slice the scan axis: leading (default) or -2 (element-major mode,
+    where arrays are ``[p(, q), L, B]`` with the scan length second-minor)."""
+    if not em:
+        return x[sl]
+    return x[(Ellipsis, sl, slice(None))]
 
 
-def _even_odd(x: jax.Array):
-    """Split even/odd positions of an even-length leading axis.
+def _cat(xs, em: bool = False) -> jax.Array:
+    return jnp.concatenate(xs, axis=-2 if em else 0)
+
+
+def _slen(x: jax.Array, em: bool = False) -> int:
+    return x.shape[-2] if em else x.shape[0]
+
+
+def _tree_slice(elems, sl, em: bool = False):
+    return tuple(_sc(x, sl, em) for x in elems)
+
+
+def _even_odd(x: jax.Array, em: bool = False):
+    """Split even/odd positions of an even-length scan axis.
 
     Two lowerings, chosen by block size (measured on v5e): for small blocks
     the stride-2 slice fuses into consumers and is ~2x faster end-to-end;
     for large blocks (quadruped nx=36) XLA lowers the strided slice as a
     gather whose VMEM scratch blows the 16MB budget, so reshape + unit
-    slices (free) are used instead.
+    slices (free) are used instead. Element-major mode always reshapes
+    (its scan axis is second-minor; unit slices are free).
     """
-    if x.shape[1] <= la.MXU_BLOCK_THRESHOLD:
+    if em:
+        L = x.shape[-2]
+        y = x.reshape(x.shape[:-2] + (L // 2, 2, x.shape[-1]))
+        return y[..., 0, :], y[..., 1, :]
+    if x.shape[1] <= la.small_block_threshold():
         return x[0::2], x[1::2]
     y = x.reshape((x.shape[0] // 2, 2) + x.shape[1:])
     return y[:, 0], y[:, 1]
 
 
-def _tree_even_odd(elems):
-    pairs = [_even_odd(x) for x in elems]
+def _tree_even_odd(elems, em: bool = False):
+    pairs = [_even_odd(x, em) for x in elems]
     return tuple(p[0] for p in pairs), tuple(p[1] for p in pairs)
 
 
-def _interleave(a: jax.Array, b: jax.Array) -> jax.Array:
-    """[L, ...], [L, ...] -> [2L, ...] as a0 b0 a1 b1 ..."""
+def _interleave(a: jax.Array, b: jax.Array, em: bool = False) -> jax.Array:
+    """[L, ...], [L, ...] -> [2L, ...] as a0 b0 a1 b1 ... on the scan axis."""
+    if em:
+        L = a.shape[-2]
+        # stack -> [.., L, 2, B]; row-major reshape interleaves (i, j) -> 2i+j.
+        return jnp.stack([a, b], axis=-2).reshape(
+            a.shape[:-2] + (2 * L, a.shape[-1])
+        )
     return jnp.stack([a, b], axis=1).reshape((-1,) + a.shape[1:])
 
 
-def _suffix_pj(elems, nb: int, seed=None) -> Tuple[jax.Array, jax.Array]:
+def _suffix_pj(
+    elems, nb: int, seed=None, em: bool = False
+) -> Tuple[jax.Array, jax.Array]:
     """All-suffix reductions of value elements, returning only ``(eta, J)``.
 
     Hand-rolled odd-even (Brent–Kung) suffix scan replacing
@@ -187,60 +216,64 @@ def _suffix_pj(elems, nb: int, seed=None) -> Tuple[jax.Array, jax.Array]:
     Used by the horizon-sharded solver (rslqr_tpu.parallel.pscan_seq), where
     the seed is the combined suffix of all chunks to the right.
     """
-    L = elems[0].shape[0]
+    L = _slen(elems[0], em)
     if L == 1:
         if seed is None:
             return elems[3], elems[4]
         return _combine_reduced(elems, seed, nb)
     if L % 2 == 1:
         # Peel the first element: S_0 = combine(e_0, S_1).
-        eta_r, J_r = _suffix_pj(_tree_slice(elems, slice(1, None)), nb, seed)
-        e0 = _tree_slice(elems, slice(0, 1))
-        eta0, J0 = _combine_reduced(e0, (eta_r[:1], J_r[:1]), nb)
-        return (
-            jnp.concatenate([eta0, eta_r], axis=0),
-            jnp.concatenate([J0, J_r], axis=0),
+        eta_r, J_r = _suffix_pj(
+            _tree_slice(elems, slice(1, None), em), nb, seed, em
         )
-    e_even, e_odd = _tree_even_odd(elems)
+        e0 = _tree_slice(elems, slice(0, 1), em)
+        eta0, J0 = _combine_reduced(
+            e0, (_sc(eta_r, slice(0, 1), em), _sc(J_r, slice(0, 1), em)), nb
+        )
+        return _cat([eta0, eta_r], em), _cat([J0, J_r], em)
+    e_even, e_odd = _tree_even_odd(elems, em)
     c = _combine(e_even, e_odd, nb)  # segment [2i, 2i+1], full elements
-    eta_p, J_p = _suffix_pj(c, nb, seed)  # S_{2i} over pairs i.. (even outs)
+    eta_p, J_p = _suffix_pj(c, nb, seed, em)  # S_{2i} over pairs (even outs)
     # S_{2i+1} = combine(e_{2i+1}, S_{2i+2}) for i < L/2-1;
     # S_{L-1} = e_{L-1} (+ seed).
-    e_last = _tree_slice(e_odd, slice(-1, None))
+    e_last = _tree_slice(e_odd, slice(-1, None), em)
     if seed is None:
         eta_last, J_last = e_last[3], e_last[4]
     else:
         eta_last, J_last = _combine_reduced(e_last, seed, nb)
     if L > 2:
         eta_o, J_o = _combine_reduced(
-            _tree_slice(e_odd, slice(0, -1)), (eta_p[1:], J_p[1:]), nb
+            _tree_slice(e_odd, slice(0, -1), em),
+            (_sc(eta_p, slice(1, None), em), _sc(J_p, slice(1, None), em)),
+            nb,
         )
-        eta_odd = jnp.concatenate([eta_o, eta_last], axis=0)
-        J_odd = jnp.concatenate([J_o, J_last], axis=0)
+        eta_odd = _cat([eta_o, eta_last], em)
+        J_odd = _cat([J_o, J_last], em)
     else:
         eta_odd, J_odd = eta_last, J_last
-    return _interleave(eta_p, eta_odd), _interleave(J_p, J_odd)
+    return _interleave(eta_p, eta_odd, em), _interleave(J_p, J_odd, em)
 
 
-def _reduce_full(elems, nb: int):
+def _reduce_full(elems, nb: int, em: bool = False):
     """Reduce a whole element sequence to ONE full element (pairwise tree;
     identical pair combines to the up-sweep of :func:`_suffix_pj`, so XLA
     CSE dedupes them when both run in one program)."""
-    L = elems[0].shape[0]
+    L = _slen(elems[0], em)
     while L > 1:
         if L % 2 == 1:
-            head = _tree_slice(elems, slice(0, 1))
-            rest = _tree_slice(elems, slice(1, None))
-            rest_even, rest_odd = _tree_even_odd(rest)
+            head = _tree_slice(elems, slice(0, 1), em)
+            rest = _tree_slice(elems, slice(1, None), em)
+            rest_even, rest_odd = _tree_even_odd(rest, em)
             c = _combine(rest_even, rest_odd, nb)
-            e0c = _combine(head, _tree_slice(c, slice(0, 1)), nb)
+            e0c = _combine(head, _tree_slice(c, slice(0, 1), em), nb)
             elems = tuple(
-                jnp.concatenate([a, b[1:]], axis=0) for a, b in zip(e0c, c)
+                _cat([a, _sc(b, slice(1, None), em)], em)
+                for a, b in zip(e0c, c)
             )
         else:
-            e_even, e_odd = _tree_even_odd(elems)
+            e_even, e_odd = _tree_even_odd(elems, em)
             elems = _combine(e_even, e_odd, nb)
-        L = elems[0].shape[0]
+        L = _slen(elems[0], em)
     return elems
 
 
@@ -295,15 +328,20 @@ def _gains(prob_bl: LQRProblem, P, p, nb: int):
     )
 
 
-def _gains_from(A, B, Rd, r, f, Pn, pn, nb: int):
+def _gains_from(A, B, Rd, r, f, Pn, pn, nb: int, em: bool = False):
     """Gain algebra on explicit per-knot arrays (shared with the
-    horizon-sharded path, where ``Pn``/``pn`` cross a device boundary)."""
+    horizon-sharded path, where ``Pn``/``pn`` cross a device boundary).
+    ``em``: block dims lead (``[m, m, L, B]``) instead of following the
+    knot axis — only the diagonal-add indexing differs."""
     Bt = la.transpose_block(B, nb)
     BtP = la.bgemm(Bt, Pn, nb)
     Quu = la.bgemm(BtP, B, nb)
     m = B.shape[-(nb + 1)]
     diag = (jnp.arange(m), jnp.arange(m))
-    Quu = Quu.at[(slice(None),) + diag].add(Rd)
+    if em:
+        Quu = Quu.at[diag].add(Rd)
+    else:
+        Quu = Quu.at[(slice(None),) + diag].add(Rd)
     Qux = la.bgemm(BtP, A, nb)
     Qu = r + la.bgemv(Bt, la.bgemv(Pn, f, nb) + pn, nb)
 
@@ -354,7 +392,155 @@ def _forward_scan(prob_bl: LQRProblem, K, d, nb: int):
     return X
 
 
-def solve_pscan(prob: LQRProblem) -> RiccatiSolution:
+def _value_scan_em(pem, nb2: int):
+    """Element-major leaf construction + suffix scan: the counterpart of
+    :func:`_value_scan` on ``[p, q, N, B]`` slabs (block dims leading, the
+    (knot x batch) plane minor — dense (8, 128) tiles at any block size;
+    see rslqr_em's layout rationale). ``pem`` is the dict of element-major
+    problem arrays. Returns ``(P [n, n, N, B], p [n, N, B])``."""
+    A, B = pem["A"], pem["B"]
+    n = A.shape[0]
+    N, Bb = A.shape[2], A.shape[3]
+    dtype = A.dtype
+
+    rinv = 1.0 / pem["Rdiag"]  # [m, N, B]
+    Brinv = B * rinv[None]  # scale B's columns by 1/R
+    Bt = jnp.swapaxes(B, 0, 1)
+
+    S = lambda x, sl: x[(Ellipsis, sl, slice(None))]
+    F = S(A, slice(0, N - 1))
+    c = S(pem["f"], slice(0, N - 1)) - la.bgemv(
+        S(Brinv, slice(0, N - 1)), S(pem["r"], slice(0, N - 1)), nb2
+    )
+    C = S(la.bgemm(Brinv, Bt, nb2), slice(0, N - 1))
+    eta = -S(pem["q"], slice(0, N - 1))
+    diag = (jnp.arange(n), jnp.arange(n))
+    Jq = jnp.zeros((n, n, N - 1, Bb), dtype).at[diag].set(
+        S(pem["Qdiag"], slice(0, N - 1))
+    )
+
+    zF = jnp.zeros((n, n, 1, Bb), dtype)
+    JN = jnp.zeros((n, n, 1, Bb), dtype).at[diag].set(
+        S(pem["Qdiag"], slice(N - 1, N))
+    )
+    zv = jnp.zeros((n, 1, Bb), dtype)
+    elems = (
+        _cat([F, zF], em=True),
+        _cat([c, zv], em=True),
+        _cat([C, zF], em=True),
+        _cat([eta, -S(pem["q"], slice(N - 1, N))], em=True),
+        _cat([Jq, JN], em=True),
+    )
+    eta_all, J_all = _suffix_pj(elems, nb2, em=True)
+    return J_all, -eta_all
+
+
+def _prefix_action_em(Phi, tvec, x0, nb2: int) -> jax.Array:
+    """Element-major twin of :func:`_prefix_action`: scan axis -2, keepdims
+    slicing; ``x0`` carries a unit scan axis ``[n, 1, B]``."""
+    S = lambda x, sl: x[(Ellipsis, sl, slice(None))]
+    L = Phi.shape[-2]
+    if L == 1:
+        return la.bgemv(Phi, x0, nb2) + tvec
+    if L % 2 == 1:
+        head = _prefix_action_em(
+            S(Phi, slice(0, -1)), S(tvec, slice(0, -1)), x0, nb2
+        )
+        last = (
+            la.bgemv(S(Phi, slice(-1, None)), S(head, slice(-1, None)), nb2)
+            + S(tvec, slice(-1, None))
+        )
+        return _cat([head, last], em=True)
+    Phi_e, Phi_o = _even_odd(Phi, em=True)
+    t_e, t_o = _even_odd(tvec, em=True)
+    Phi_c = la.bgemm(Phi_o, Phi_e, nb2)
+    t_c = la.bgemv(Phi_o, t_e, nb2) + t_o
+    a_pair = _prefix_action_em(Phi_c, t_c, x0, nb2)  # a_{2i+1}
+    a0 = la.bgemv(S(Phi_e, slice(0, 1)), x0, nb2) + S(t_e, slice(0, 1))
+    if L > 2:
+        a_even_rest = (
+            la.bgemv(S(Phi_e, slice(1, None)), S(a_pair, slice(0, -1)), nb2)
+            + S(t_e, slice(1, None))
+        )
+        a_even = _cat([a0, a_even_rest], em=True)
+    else:
+        a_even = a0
+    return _interleave(a_even, a_pair, em=True)
+
+
+def _solve_pscan_em(prob: LQRProblem, nb: int) -> RiccatiSolution:
+    """Mid-block production path: the whole scan in element-major layout.
+
+    Every element component is a ``[p, q, N, B]`` slab whose (knot x batch)
+    plane rides the (sublane, lane) tiles densely — mat-last layouts occupy
+    36/128 lanes at the quadruped size, and XLA's batched LU there runs at
+    single-digit GFLOP/s. All combine algebra flows through
+    :mod:`rslqr_tpu.linalg` with ``nbatch = 2``, where the mid-block gemms
+    dispatch to the element-plane Pallas kernels (ops/planes_pallas.py) and
+    the ``I + C J`` solves to the blocked batch-last LU whose O(n^3) bulk
+    is those same kernels. Requires one flattened leading batch axis.
+    """
+    # Batch-last then element-major: [B?, N, p, q] -> [N, p, q, B] -> move
+    # the knot axis second-minor -> [p, q, N, B].
+    def bl(x):
+        perm = tuple(range(nb, x.ndim)) + tuple(range(nb))
+        return jnp.transpose(x, perm)
+
+    pbl = jax.tree.map(bl, prob)
+    em = lambda x: jnp.moveaxis(x, 0, -2)
+    pem = {
+        "A": em(pbl.A),
+        "B": em(pbl.B),
+        "f": em(pbl.f),
+        "q": em(pbl.q),
+        "r": em(pbl.r),
+        "Qdiag": em(pbl.Qdiag),
+        "Rdiag": em(pbl.Rdiag),
+    }
+    nb2 = 2
+    N = pem["A"].shape[2]
+    S = lambda x, sl: x[(Ellipsis, sl, slice(None))]
+
+    P, p = _value_scan_em(pem, nb2)
+    K, d = _gains_from(
+        S(pem["A"], slice(0, N - 1)),
+        S(pem["B"], slice(0, N - 1)),
+        S(pem["Rdiag"], slice(0, N - 1)),
+        S(pem["r"], slice(0, N - 1)),
+        S(pem["f"], slice(0, N - 1)),
+        S(P, slice(1, N)),
+        S(p, slice(1, N)),
+        nb2,
+        em=True,
+    )
+    Phi = S(pem["A"], slice(0, N - 1)) + la.bgemm(
+        S(pem["B"], slice(0, N - 1)), K, nb2
+    )
+    tvec = la.bgemv(S(pem["B"], slice(0, N - 1)), d, nb2) + S(
+        pem["f"], slice(0, N - 1)
+    )
+    x0e = pbl.x0[:, None, :] if nb else pbl.x0[:, None]
+    xs = _prefix_action_em(Phi, tvec, x0e, nb2)
+    X = _cat([x0e, xs], em=True)  # [n, N, B]
+    U = la.bgemv(K, S(X, slice(0, N - 1)), nb2) + d
+    Y = la.bgemv(P, X, nb2) + p
+
+    # Element-major [p(, q), N, B] -> knot-major [N, p(, q), B] -> leading
+    # batch.
+    def out(x):
+        x = jnp.moveaxis(x, -2, 0)
+        if nb == 0:
+            return x
+        nd = x.ndim
+        perm = (nd - 1,) + tuple(range(nd - 1))
+        return jnp.transpose(x, perm)
+
+    return RiccatiSolution(
+        K=out(K), d=out(d), P=out(P), p=out(p), X=out(X), U=out(U), Y=out(Y)
+    )
+
+
+def solve_pscan(prob: LQRProblem, options=None) -> RiccatiSolution:
     """Full parallel-scan LQR solve; same outputs as :func:`solve_riccati`.
 
     Accepts a single problem or a leading-batch problem pytree (like
@@ -365,18 +551,47 @@ def solve_pscan(prob: LQRProblem) -> RiccatiSolution:
     vmap turns the whole solve into natively-batched MXU ``dot_general`` /
     LU ops with zero per-op transposes — the large-block fast path
     (the reference's any-size backend dispatch role, linalg.c:153-190).
+
+    ``options`` (:class:`rslqr_tpu.config.SolveOptions`) pins the dispatch
+    per call; ``None`` snapshots the global config at trace time. For this
+    family ``layout="grid"`` forces the batch-last path (no vmap re-route).
     """
+    from .config import resolve_options
+
+    opts = resolve_options(options)
+    with la.block_threshold(opts.mxu_block_threshold), \
+            la.pallas_ctx(opts.pallas):
+        return _solve_pscan_impl(prob, opts)
+
+
+def _solve_pscan_impl(prob: LQRProblem, opts) -> RiccatiSolution:
     nb = prob.A.ndim - 3
     n_, m_ = prob.A.shape[-2], prob.B.shape[-1]
-    from .config import config as _config
 
-    if nb and max(n_, m_) > la.MXU_BLOCK_THRESHOLD and _config.layout == "auto":
-        bshape = prob.A.shape[:nb]
-        flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[nb:]), prob)
-        sol = jax.vmap(solve_pscan)(flat)
-        return jax.tree.map(
-            lambda x: x.reshape(bshape + x.shape[1:]), sol
+    if nb and max(n_, m_) > la.small_block_threshold():
+        # Mid-block dispatch: element-major scan when the element-plane
+        # kernels engage (or layout="em" forces it); else the vmap MXU
+        # path ("auto" off-TPU) — "grid" pins the plain batch-last path.
+        mid_em = (
+            nb == 1
+            and n_ <= 64
+            and m_ <= 64
+            and (
+                opts.layout == "em"
+                or (opts.layout == "auto" and la._planes_interpret() is not None)
+            )
         )
+        if mid_em:
+            return _solve_pscan_em(prob, nb)
+        if opts.layout == "auto":
+            bshape = prob.A.shape[:nb]
+            flat = jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[nb:]), prob
+            )
+            sol = jax.vmap(lambda p: _solve_pscan_impl(p, opts))(flat)
+            return jax.tree.map(
+                lambda x: x.reshape(bshape + x.shape[1:]), sol
+            )
 
     def bl(x):
         if nb == 0:
@@ -402,7 +617,7 @@ def solve_pscan(prob: LQRProblem) -> RiccatiSolution:
     )
 
 
-def solve_pscan_kkt(prob: LQRProblem) -> jax.Array:
+def solve_pscan_kkt(prob: LQRProblem, options=None) -> jax.Array:
     """Solve and return flat KKT vector(s) in the reference layout."""
-    sol = solve_pscan(prob)
+    sol = solve_pscan(prob, options=options)
     return pack_solution(sol.Y, sol.X, sol.U)

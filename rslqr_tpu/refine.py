@@ -23,6 +23,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import rslqr
 from .problem import LQRProblem
@@ -72,25 +73,42 @@ def solve_refined(
     iterations: int = 2,
     solve_dtype=jnp.float32,
     tables: Optional[TreeTables] = None,
+    options=None,
 ) -> rslqr.RsLqrSolution:
     """rsLQR solve with ``solve_dtype`` factorization refined to the
     precision of ``prob``'s dtype (pass a float64 problem for full accuracy).
 
     Jittable (needs x64 enabled for f64 refinement); batch axes as usual.
+    ``options`` (:class:`rslqr_tpu.config.SolveOptions`) pins layout/kernel
+    dispatch per call, as in :func:`rslqr_tpu.rslqr.solve`.
     """
+    from . import linalg as la
+    from .config import resolve_options
+
+    opts = resolve_options(options)
+    with la.block_threshold(opts.mxu_block_threshold), \
+            la.pallas_ctx(opts.pallas):
+        return _solve_refined_impl(prob, iterations, solve_dtype, tables, opts)
+
+
+def _solve_refined_impl(
+    prob, iterations, solve_dtype, tables, opts
+) -> rslqr.RsLqrSolution:
     nb = prob.A.ndim - 3
     t = tables or build_tree_tables(prob.A.shape[-3])
 
     pbl_hi = rslqr._to_batch_last(prob, nb)
     pbl_lo = pbl_hi.astype(solve_dtype)
 
-    if rslqr._use_em_layout(prob):
+    if rslqr._use_em_layout(prob, opts):
         # Element-major production path: factor once, re-solve per iteration
         # through the EM RHS sweep (layout conversions touch vectors only).
         from . import rslqr_em
 
         A_lo, B_lo = rslqr_em._em(pbl_lo.A), rslqr_em._em(pbl_lo.B)
-        fact, rhs_em = rslqr_em.factorize_em(prob.astype(solve_dtype), t)
+        fact, rhs_em = rslqr_em.factorize_em(
+            prob.astype(solve_dtype), t, options=opts
+        )
 
         def resolve(rhs_bl):
             zy, zx, zu = (rslqr_em._emv(v) for v in rhs_bl)
@@ -98,6 +116,7 @@ def solve_refined(
                 zy, zx, zu = rslqr_em._rhs_level_em(
                     A_lo, B_lo, level, fact.Fls[level], fact.Fxs[level],
                     fact.Fus[level], fact.chols[level], zy, zx, zu, nb,
+                    options=opts,
                 )
             return tuple(rslqr_em._emv_bl(v) for v in (zy, zx, zu))
 
@@ -132,3 +151,182 @@ def solve_refined(
         U=rslqr._bf(U[:-1], nb),
         fact=fact,
     )
+
+
+# ---------------------------------------------------------------------------
+# Host-resident f64 refinement: the TPU route to the reference's 1e-6 bar.
+#
+# TPU has no native float64, so the "evaluate the residual in f64" half of
+# mixed-precision refinement runs in numpy on the HOST, while the heavy
+# factor/solve half stays on device in f32. Per iteration that costs two
+# compact trajectory transfers (KKT-vector sized) — the production pattern
+# for serving f64-accurate solutions off f32 hardware. The reference's
+# benchmark asserts accuracy and speed in the same run
+# (test/sample_problem_test.c:140-157); bench.py uses this to do the same.
+# ---------------------------------------------------------------------------
+
+
+def _refine_factor_init_impl(prob, options):
+    """Device half: factorization + initial f32 solve. Returns
+    ``(fact, (zy, zx, zu))`` batch-last (zu keeps the terminal scratch
+    row)."""
+    from . import linalg as la
+    from .config import resolve_options
+
+    opts = resolve_options(options)
+    with la.block_threshold(opts.mxu_block_threshold), la.pallas_ctx(opts.pallas):
+        nb = prob.A.ndim - 3
+        t = build_tree_tables(prob.A.shape[-3])
+        pbl = rslqr._to_batch_last(prob, nb)
+        if rslqr._use_em_layout(prob, opts):
+            from . import rslqr_em
+
+            fact, rhs_em = rslqr_em.factorize_em(prob, t, options=opts)
+            zy, zx, zu = rhs_em
+            A_em, B_em = rslqr_em._em(pbl.A), rslqr_em._em(pbl.B)
+            for level in range(t.depth):
+                zy, zx, zu = rslqr_em._rhs_level_em(
+                    A_em, B_em, level, fact.Fls[level], fact.Fxs[level],
+                    fact.Fus[level], fact.chols[level], zy, zx, zu, nb,
+                    options=opts,
+                )
+            return fact, tuple(rslqr_em._emv_bl(v) for v in (zy, zx, zu))
+        fact, rhs = rslqr._factorize_bl(pbl, t, nb)
+        return fact, rslqr._solve_rhs_bl(pbl, fact, rhs, t)
+
+
+_refine_factor_init_jit = jax.jit(
+    _refine_factor_init_impl, static_argnames=("options",)
+)
+
+
+def _refine_resolve_impl(prob, fact, r_bl, options):
+    """Device half of one refinement step: leaf-transform the (f32) residual
+    and solve it with the cached factorization."""
+    from . import linalg as la
+    from .config import resolve_options
+
+    opts = resolve_options(options)
+    with la.block_threshold(opts.mxu_block_threshold), la.pallas_ctx(opts.pallas):
+        nb = prob.A.ndim - 3
+        t = build_tree_tables(prob.A.shape[-3])
+        pbl = rslqr._to_batch_last(prob, nb)
+        r_lo = rslqr._leaf_rhs_transform(pbl, r_bl, nb)
+        from . import rslqr_em
+
+        if isinstance(fact, rslqr_em.EmFactorization):
+            zy, zx, zu = rslqr_em.em_rhs_from_bl(r_lo)
+            A_em, B_em = rslqr_em._em(pbl.A), rslqr_em._em(pbl.B)
+            for level in range(t.depth):
+                zy, zx, zu = rslqr_em._rhs_level_em(
+                    A_em, B_em, level, fact.Fls[level], fact.Fxs[level],
+                    fact.Fus[level], fact.chols[level], zy, zx, zu, nb,
+                    options=opts,
+                )
+            return tuple(rslqr_em._emv_bl(v) for v in (zy, zx, zu))
+        return rslqr._solve_rhs_bl(pbl, fact, r_lo, t)
+
+
+_refine_resolve_jit = jax.jit(
+    _refine_resolve_impl, static_argnames=("options",)
+)
+
+
+def _np_kkt_residual_rhs(p, Y, X, U):
+    """numpy float64 KKT residual ``b - K s`` in (ry, rx, ru) block form.
+
+    Leading-batch arrays ``[*b, N, n|m]``; ``U`` carries the terminal
+    scratch row (zeroed in the output). Block rows per refine.kkt_apply."""
+    A, B = p["A"][..., :-1, :, :], p["B"][..., :-1, :, :]
+    mv = lambda M, v: np.einsum("...kij,...kj->...ki", M, v)
+    mtv = lambda M, v: np.einsum("...kji,...kj->...ki", M, v)
+    My = np.concatenate(
+        [-X[..., :1, :], mv(A, X[..., :-1, :]) + mv(B, U[..., :-1, :]) - X[..., 1:, :]],
+        axis=-2,
+    )
+    Mx = -Y + p["Qdiag"] * X
+    Mx[..., :-1, :] += mtv(A, Y[..., 1:, :])
+    Mu = p["Rdiag"] * U
+    Mu[..., :-1, :] += mtv(B, Y[..., 1:, :])
+    by = np.concatenate(
+        [-p["x0"][..., None, :], -p["f"][..., :-1, :]], axis=-2
+    )
+    ry = by - My
+    rx = -p["q"] - Mx
+    ru = -p["r"] - Mu
+    ru[..., -1, :] = 0.0
+    res = max(
+        np.max(np.abs(ry)), np.max(np.abs(rx)), np.max(np.abs(ru[..., :-1, :]))
+    )
+    return (ry, rx, ru), float(res)
+
+
+def _np_pack_solution(Y, X, U):
+    """numpy twin of problem.pack_solution (leading batch)."""
+    N = X.shape[-2]
+    batch = X.shape[:-2]
+    body = np.concatenate(
+        [Y[..., : N - 1, :], X[..., : N - 1, :], U], axis=-1
+    ).reshape(batch + (-1,))
+    tail = np.concatenate([Y[..., N - 1, :], X[..., N - 1, :]], axis=-1)
+    return np.concatenate([body, tail], axis=-1)
+
+
+def solve_refined_host(
+    prob: LQRProblem, iterations: int = 3, options=None
+):
+    """f64-accurate rsLQR solve on an f32-only backend (TPU).
+
+    ``prob`` is ideally an :class:`LQRProblem` of **numpy float64** arrays
+    (``read_lqr_problem_json(path, dtype=None)``), optionally with one
+    leading batch axis: the full-precision data drives the host residuals
+    while the device half sees a float32 cast. A float32 device problem
+    also works, but then the data itself is already rounded and the
+    achievable accuracy is that of the *rounded* problem. Factorization and
+    every correction solve run on device in float32; the residual
+    evaluations run in numpy float64 on the host. Returns
+    ``(kkt_f64, residual)``: the packed KKT solution as a numpy float64
+    array ``[*b, nvars]`` and the final host-evaluated max-norm KKT
+    residual. 2-3 iterations reach ~1e-10 on the shipped problems —
+    comfortably under the reference's 1e-6 assertion bar
+    (test/sample_problem_test.c:150-157).
+    """
+    from .config import resolve_options
+
+    opts = resolve_options(options)
+    nb = prob.A.ndim - 3
+    prob32 = jax.tree.map(
+        lambda x: jnp.asarray(np.asarray(x), jnp.float32), prob
+    )
+    fact, (zy, zx, zu) = _refine_factor_init_jit(prob32, opts)
+
+    def to_np(x):  # batch-last device -> leading-batch numpy f64
+        a = np.asarray(x, dtype=np.float64)
+        return np.moveaxis(a, -1, 0) if nb else a
+
+    def to_dev(a):  # leading-batch numpy -> batch-last f32 device array
+        a = np.moveaxis(a, 0, -1) if nb else a
+        return jnp.asarray(a, dtype=jnp.float32)
+
+    Y, X, U = to_np(zy), to_np(zx), to_np(zu)
+    p64 = {
+        "A": np.asarray(prob.A, np.float64),
+        "B": np.asarray(prob.B, np.float64),
+        "f": np.asarray(prob.f, np.float64),
+        "q": np.asarray(prob.q, np.float64),
+        "r": np.asarray(prob.r, np.float64),
+        "Qdiag": np.asarray(prob.Qdiag, np.float64),
+        "Rdiag": np.asarray(prob.Rdiag, np.float64),
+        "x0": np.asarray(prob.x0, np.float64),
+    }
+    res = None
+    for _ in range(iterations):
+        (ry, rx, ru), res = _np_kkt_residual_rhs(p64, Y, X, U)
+        dy, dx, du = _refine_resolve_jit(
+            prob32, fact, (to_dev(ry), to_dev(rx), to_dev(ru)), opts
+        )
+        Y += to_np(dy)
+        X += to_np(dx)
+        U += to_np(du)
+    _, res = _np_kkt_residual_rhs(p64, Y, X, U)
+    return _np_pack_solution(Y, X, U[..., :-1, :]), res

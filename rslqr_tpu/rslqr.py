@@ -496,8 +496,12 @@ def leaf_solve_rhs(
 
 
 def _use_em_layout(prob: LQRProblem, options=None) -> bool:
-    """Layout dispatch: element-major for small blocks (see rslqr_em),
-    knot-major grids otherwise (options/config.layout overrides)."""
+    """Layout dispatch: element-major for small blocks (see rslqr_em) and —
+    when the element-plane Pallas kernels would engage — for mid-size
+    blocks too (n <= 64, the quadruped regime); knot-major grids otherwise
+    (options/config.layout overrides). This is the reference's "a real
+    backend at every size" dispatch (linalg.c:153-190) on the TPU axis that
+    matters: data layout."""
     from .config import resolve_options
 
     opts = resolve_options(options)
@@ -506,7 +510,12 @@ def _use_em_layout(prob: LQRProblem, options=None) -> bool:
     if opts.layout == "grid":
         return False
     thr = opts.mxu_block_threshold
-    return prob.A.shape[-2] <= thr and prob.B.shape[-1] <= thr
+    n_, m_ = prob.A.shape[-2], prob.B.shape[-1]
+    if n_ <= thr and m_ <= thr:
+        return True
+    with la.pallas_ctx(opts.pallas):
+        planes = la._planes_interpret() is not None
+    return planes and n_ <= 64 and m_ <= 64
 
 
 def solve(
@@ -531,6 +540,12 @@ def solve(
     from .config import resolve_options
 
     opts = resolve_options(options)
+    with la.block_threshold(opts.mxu_block_threshold), \
+            la.pallas_ctx(opts.pallas):
+        return _solve_impl(prob, tables, opts)
+
+
+def _solve_impl(prob, tables, opts) -> RsLqrSolution:
     if _use_em_layout(prob, opts):
         from . import rslqr_em
 

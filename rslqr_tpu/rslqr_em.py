@@ -225,7 +225,13 @@ def _sweep_level_em(A, B, level, depth, Fls, Fxs, Fus, n, m, nb, ex=None,
                 A, B, level, depth, Fls, Fxs, Fus, fsols, n, m, mode
             )
             return Lc, S_next
-        _level_update_xla_em(level, depth, Fls, Fxs, Fus, fsols, nb)
+        interp = _planes_update_interp(Fls[0], nb)
+        if interp is not None:
+            _level_update_planes_em(
+                level, depth, Fls, Fxs, Fus, fsols, nb, interp
+            )
+        else:
+            _level_update_xla_em(level, depth, Fls, Fxs, Fus, fsols, nb)
     return Lc, None
 
 
@@ -313,6 +319,68 @@ def _level_update_xla_em(level, depth, Fls, Fxs, Fus, fsols, nb):
             (_gk(Fus[u], span, nb) - la.bgemm(FL_u, f_u, nk + 1)).astype(fdt),
             nb,
         )
+
+
+def _planes_update_interp(Fl: jax.Array, nb: int):
+    """Dispatch for the mid-block element-plane Schur update: False =
+    compiled kernel, True = interpret, None = XLA fallback.
+
+    Applies when the slab's (knot x batch) plane flattens onto whole
+    (8, 128) tiles with a power-of-two batch width (knot-id recovery in the
+    kernel is a shift) and the storage dtype is float32. The small-block
+    regime never reaches here (the fused schur kernels own it)."""
+    interp = la._planes_interpret()
+    if interp is None or nb != 1:
+        return None
+    n = Fl.shape[0]
+    if n > 64:
+        return None  # unrolled contraction length cap (compile sanity)
+    N, B = Fl.shape[2], Fl.shape[3]
+    if (N * B) % (8 * 128) or B & (B - 1):
+        return None
+    if Fl.dtype != jnp.float32 and not interp:
+        return None
+    return interp
+
+
+def _level_update_planes_em(level, depth, Fls, Fxs, Fus, fsols, nb, interp):
+    """Mid-block Schur update stage (ndlqr_UpdateShurFactor,
+    nested_dissection.c:154-171) via the element-plane Pallas kernels
+    (ops/planes_pallas.py): each solved separator block is broadcast over
+    its group's knots once, then every upper slab updates in ONE fused
+    masked pass (read multiplier + read slab + write slab) at full lane
+    occupancy — no mat-last transposes, no padded reduce temps. Mutates the
+    slab lists."""
+    from .ops.planes_pallas import schur_update_planes
+
+    n = Fls[level].shape[0]
+    m = Fus[level].shape[0]
+    N, B = Fls[level].shape[2], Fls[level].shape[3]
+    span = 1 << (level + 1)
+    G = N // span
+    F = N * B
+    logb = B.bit_length() - 1
+    flat = lambda x: x.reshape(x.shape[0], x.shape[1], F // 128, 128)
+    FL_l, FL_x, FL_u = flat(Fls[level]), flat(Fxs[level]), flat(Fus[level])
+    for u in range(level + 1, depth):
+        fs = fsols[u]  # [n, n, G, B]
+        fs_full = flat(
+            jnp.broadcast_to(
+                fs[:, :, :, None], (n, n, G, span, B)
+            ).reshape(n, n, N, B)
+        )
+        Fls[u] = schur_update_planes(
+            FL_l, fs_full, flat(Fls[u]), level=level, lam=True, logb=logb,
+            interpret=interp,
+        ).reshape(n, n, N, B)
+        Fxs[u] = schur_update_planes(
+            FL_x, fs_full, flat(Fxs[u]), level=level, lam=False, logb=logb,
+            interpret=interp,
+        ).reshape(n, n, N, B)
+        Fus[u] = schur_update_planes(
+            FL_u, fs_full, flat(Fus[u]), level=level, lam=False, logb=logb,
+            interpret=interp,
+        ).reshape(m, n, N, B)
 
 
 def _pallas_schur_mode(
@@ -527,6 +595,14 @@ def factorize_em(
     from .config import resolve_options
 
     opts = resolve_options(options)
+    with la.block_threshold(opts.mxu_block_threshold), \
+            la.pallas_ctx(opts.pallas):
+        return _factorize_em_impl(prob, tables, opts)
+
+
+def _factorize_em_impl(
+    prob: LQRProblem, tables: Optional[TreeTables], opts
+) -> Tuple[EmFactorization, Tuple]:
     nb = _num_batch_axes(prob)
     pbl = _to_batch_last(prob, nb)
     t = tables or build_tree_tables(pbl.A.shape[0])
@@ -600,6 +676,15 @@ def solve_rhs_em(
     :func:`factorize_em` (or :func:`leaf_rhs_em` for fresh right-hand
     sides — the multi-RHS mode the reference hints at, nddata.h:72-75).
     """
+    from .config import resolve_options
+
+    opts = resolve_options(options)
+    with la.block_threshold(opts.mxu_block_threshold), \
+            la.pallas_ctx(opts.pallas):
+        return _solve_rhs_em_impl(prob, fact, rhs, tables, opts)
+
+
+def _solve_rhs_em_impl(prob, fact, rhs, tables, options) -> RsLqrSolution:
     nb = fact.nbatch
     pbl = _to_batch_last(prob, _num_batch_axes(prob))
     t = tables or build_tree_tables(pbl.A.shape[0])

@@ -42,3 +42,28 @@ def test_kkt_apply_consistent_with_residual():
     assert float(jnp.abs(My - by).max()) < 1e-8
     assert float(jnp.abs(Mx - bx).max()) < 1e-8
     assert float(jnp.abs((Mu - bu)[:-1]).max()) < 1e-8
+
+
+def test_solve_refined_host_golden_n256(lqr_prob_256_path):
+    """The bench accuracy gate's machinery (VERDICT r3 #3): f32 device
+    factorization + host numpy f64 residuals reaches the reference's 1e-6
+    golden bar (sample_problem_test.c:150-157) with room to spare."""
+    import numpy as np
+
+    import rslqr_tpu as rt
+    from rslqr_tpu import refine
+
+    prob, golden = rt.read_lqr_problem_json(lqr_prob_256_path, dtype=None)
+    assert np.asarray(prob.A).dtype == np.float64  # data stays f64 on host
+    kkt, res = refine.solve_refined_host(prob, iterations=3)
+    assert res < 1e-9
+    assert float(np.max(np.abs(kkt - golden))) < 1e-6
+
+    # Batched: one leading batch axis flows through the same path.
+    prob32 = rt.read_lqr_problem_json(lqr_prob_256_path, dtype="float32")[0]
+    import jax
+
+    batch = rt.batch_problems(prob32, jax.random.split(jax.random.PRNGKey(0), 3))
+    kktb, resb = refine.solve_refined_host(batch, iterations=3)
+    assert kktb.shape == (3, prob.nvars)
+    assert resb < 1e-4  # f32-rounded data bounds the achievable residual
