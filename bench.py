@@ -380,7 +380,10 @@ def main():
         # HBM for each program (rslqr's vmap grid state is leaner than the
         # scan's element arrays).
         for name in quad_names:
-            qchunk = int(os.environ.get("BENCH_QUAD_CHUNK", "32"))
+            # 128 keeps every slab's trailing axis lane-aligned (the
+            # element-plane kernels' layout contract) — 32 was measured
+            # 2.7x slower from relayout passes alone.
+            qchunk = int(os.environ.get("BENCH_QUAD_CHUNK", "128"))
             log(f"[bench] {name}_quadruped chunk={qchunk}")
             fn = _chunked(SOLVERS[name], qchunk)
             # K=1 only: these programs run seconds per batched solve, so

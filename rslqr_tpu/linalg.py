@@ -105,6 +105,67 @@ def _planes_interpret() -> Optional[bool]:
     return False if jax.default_backend() == "tpu" else None
 
 
+def _planes_args_ok(arrs, nbatch: int, interp) -> bool:
+    """Flat batch-last operands with a (8x128)-tileable common plane?
+
+    Compiled mode additionally requires the TRAILING axis to be lane-
+    aligned (% 128): otherwise the stored [..., X, B] layout pads B onto
+    128 lanes and the flat-plane reshape is a real relayout pass (measured
+    2.7x end-to-end on the quadruped config at B=32)."""
+    if interp is None:
+        return False
+    b = arrs[0].shape[2:]
+    F = 1
+    for s in b:
+        F *= s
+    if F % (8 * 128):
+        return False
+    if not interp and arrs[0].shape[-1] % 128:
+        return False
+    for a in arrs:
+        if a.ndim != 2 + nbatch or a.shape[2:] != b:
+            return False
+        if a.dtype != jnp.float32 and not interp:
+            return False
+    return True
+
+
+def _pv(x: jax.Array) -> jax.Array:
+    """[d0, d1, *b] -> [d0, d1, F // 128, 128] planes view (free reshape)."""
+    F = 1
+    for s in x.shape[2:]:
+        F *= s
+    return x.reshape(x.shape[0], x.shape[1], F // 128, 128)
+
+
+def _planes_chol_maybe(A: jax.Array, nbatch: int) -> Optional[jax.Array]:
+    """Fused planes Cholesky kernel when applicable (see planes_pallas)."""
+    interp = _planes_interpret()
+    if not _planes_args_ok((A,), nbatch, interp) or A.shape[0] > 64:
+        return None
+    from .ops.planes_pallas import pchol
+
+    return pchol(_pv(A), interpret=interp).reshape(A.shape)
+
+
+def _planes_cho_solve_maybe(L, B, nbatch: int) -> Optional[jax.Array]:
+    interp = _planes_interpret()
+    if not _planes_args_ok((L, B), nbatch, interp) or L.shape[0] > 64:
+        return None
+    from .ops.planes_pallas import pcho_solve
+
+    return pcho_solve(_pv(L), _pv(B), interpret=interp).reshape(B.shape)
+
+
+def _planes_lu_solve_maybe(A, B, nbatch: int) -> Optional[jax.Array]:
+    interp = _planes_interpret()
+    if not _planes_args_ok((A, B), nbatch, interp) or A.shape[0] > 64:
+        return None
+    from .ops.planes_pallas import plu_solve
+
+    return plu_solve(_pv(A), _pv(B), interpret=interp).reshape(B.shape)
+
+
 def _planes_gemm_maybe(
     A: jax.Array, B: jax.Array, nbatch: int
 ) -> Optional[jax.Array]:
@@ -243,12 +304,15 @@ def bcholesky(A: jax.Array, nbatch: int = 1) -> jax.Array:
     n = A.shape[-(nbatch + 2)]
     if n > small_block_threshold():
         # XLA TPU's batched Cholesky custom call serializes per column
-        # (~4 GFLOP/s measured at batched 36x36); blocked panel
-        # factorizations keep the bulk in gemms. Batch-last inputs stay
-        # lane-major; mat-last (nbatch == 0, the vmap world) uses the
-        # mat-last variant.
+        # (~4 GFLOP/s measured at batched 36x36). Preferred: the fused
+        # element-plane kernel (one HBM pass, O(1) XLA ops); fallback:
+        # blocked panel factorizations (gemm bulk). Mat-last (nbatch == 0,
+        # the vmap world) uses the mat-last variant.
         if nbatch == 0:
             return _from_mat_last(cholesky_ml(_to_mat_last(A, nbatch)), nbatch)
+        out = _planes_chol_maybe(A, nbatch)
+        if out is not None:
+            return out
         return _cholesky_bl_blocked(A, nbatch)
     return _bcholesky_unrolled(A, nbatch)
 
@@ -381,7 +445,14 @@ def _bcast_mat_last(L: jax.Array, B: jax.Array, nbatch: int):
 
 def bcho_solve(L: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
     """Solve ``(L L') X = B`` given the Cholesky factor — two substitutions
-    (counterpart of clap_CholeskySolve, linalg_custom.c:134-138)."""
+    (counterpart of clap_CholeskySolve, linalg_custom.c:134-138). Mid-size
+    blocks use the fused element-plane kernel when applicable (``B`` may be
+    donated there)."""
+    n = L.shape[-(nbatch + 2)]
+    if n > small_block_threshold() and nbatch >= 1:
+        out = _planes_cho_solve_maybe(L, B, nbatch)
+        if out is not None:
+            return out
     return btrsm_lower_t(L, btrsm_lower(L, B, nbatch), nbatch)
 
 
@@ -415,9 +486,13 @@ def bsolve(A: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
     n = A.shape[-(nbatch + 2)]
     if n > small_block_threshold():
         # XLA's batched LU factor is column-serialized like its Cholesky;
-        # route through the blocked unpivoted LU (sole large-block user is
-        # the scan combine's well-conditioned I + C J — see lu_ml).
+        # route through the fused planes LU kernel when applicable, else
+        # the blocked unpivoted LU (sole large-block user is the scan
+        # combine's well-conditioned I + C J — see lu_ml).
         if nbatch >= 1:
+            out = _planes_lu_solve_maybe(A, B, nbatch)
+            if out is not None:
+                return out
             Ab, Bb = _bcast_blocks(A, B, nbatch)
             return _solve_bl_blocked(Ab, Bb, nbatch)
         Am, Bm = _bcast_mat_last(A, B, nbatch)

@@ -204,3 +204,290 @@ def schur_update_planes(
         lam_level=level if lam else -1, logb=logb, sub=True,
         interpret=interpret,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused factorization kernels: the whole batched mid-block Cholesky /
+# Cholesky-solve / LU-solve as ONE kernel each.
+#
+# The blocked-panel algorithms in linalg.py express the panel math as
+# unrolled elementwise XLA ops — thousands of tiny ops per tree level at
+# n=36, which dominate both runtime (fusion-boundary traffic + dispatch)
+# and compile time (the quadruped solve spent 800+ s compiling them).
+# These kernels run the textbook column algorithms *inside* VMEM with a
+# fori loop over columns: O(1) XLA ops per stage, one HBM pass per operand.
+# The reference's equivalent regime-fix is its unblocked clap Cholesky
+# (linalg_custom.c:88-111) + backend dispatch (linalg.c:153-190).
+# ---------------------------------------------------------------------------
+
+
+def _row_pick(v, j, n):
+    """Select row ``j`` (traced) of a [n, t1, t2] value -> [t1, t2]."""
+    ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    return jnp.sum(jnp.where(ids == j, v, 0.0), axis=0)
+
+
+def _chol_kernel(a_ref, o_ref, *, n):
+    """Left-looking Cholesky over columns; L accumulates in the output
+    block (upper entries stay zero, so the k-sums need no masking)."""
+    o_ref[:] = jnp.zeros_like(o_ref)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+
+    def col(j, _):
+        acc = a_ref[:, j]  # [n, t1, t2]
+        for k in range(n):
+            acc = acc - o_ref[:, k] * _row_pick(o_ref[:, k], j, n)[None]
+        dj = _row_pick(acc, j, n)
+        rinv = jax.lax.rsqrt(dj)
+        o_ref[:, j] = jnp.where(ids >= j, acc * rinv[None], 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, n, col, 0)
+
+
+def _cho_solve_kernel(l_ref, b_ref, o_ref, *, n, w):
+    """Solve (L L') X = B: forward then back substitution, X in-place in
+    the output block (aliased onto B)."""
+    o_ref[:] = b_ref[:]
+
+    def fwd(i, _):
+        li = l_ref[i]  # row i of L: [n, t1, t2]
+        acc = o_ref[i]  # [w, t1, t2]
+        for k in range(n):
+            # L[i, k] is zero for k > i; exclude the diagonal k == i.
+            t = li[k][None] * o_ref[k]
+            acc = acc - jnp.where(k < i, t, 0.0)
+        dinv = pl.reciprocal(_row_pick(li, i, n), approx=False)
+        o_ref[i] = acc * dinv[None]
+        return 0
+
+    jax.lax.fori_loop(0, n, fwd, 0)
+
+    def bwd(s, _):
+        i = n - 1 - s
+        ci = l_ref[:, i]  # column i of L = row i of L': [n, t1, t2]
+        acc = o_ref[i]
+        for k in range(n):
+            t = ci[k][None] * o_ref[k]
+            acc = acc - jnp.where(k > i, t, 0.0)
+        dinv = pl.reciprocal(_row_pick(ci, i, n), approx=False)
+        o_ref[i] = acc * dinv[None]
+        return 0
+
+    jax.lax.fori_loop(0, n, bwd, 0)
+
+
+def _lu_solve_kernel(a_ref, b_ref, o_ref, lu_ref, *, n, w):
+    """Solve A X = B via in-VMEM unpivoted Doolittle LU + substitutions.
+
+    No pivoting: intended for well-conditioned blocks like the parallel
+    scan combine's ``I + C J`` (eigenvalues >= 1; see linalg.blu_factor).
+    """
+    lu_ref[:] = a_ref[:]
+    ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+
+    def step(k, _):
+        col_k = lu_ref[:, k]  # [n, t1, t2]
+        inv = pl.reciprocal(_row_pick(col_k, k, n), approx=False)
+        factors = jnp.where(ids > k, col_k * inv[None], 0.0)
+        row_k = lu_ref[k]  # [n, t1, t2] (row k = U row k on cols >= k)
+        masked_row = jnp.where(ids > k, row_k, 0.0)  # strictly right of k
+        lu_ref[:] = lu_ref[:] - factors[:, None] * masked_row[None, :]
+        # Column k rows > k hold L's multipliers. (Read back through the
+        # ref: dynamic slices of register values don't lower on TPU.)
+        lu_ref[:, k] = jnp.where(ids > k, factors, lu_ref[:, k])
+        return 0
+
+    jax.lax.fori_loop(0, n, step, 0)
+
+    o_ref[:] = b_ref[:]
+
+    def fwd(i, _):  # unit-lower forward substitution
+        li = lu_ref[i]
+        acc = o_ref[i]
+        for k in range(n):
+            t = li[k][None] * o_ref[k]
+            acc = acc - jnp.where(k < i, t, 0.0)
+        o_ref[i] = acc
+        return 0
+
+    jax.lax.fori_loop(0, n, fwd, 0)
+
+    def bwd(s, _):  # U back substitution
+        i = n - 1 - s
+        ui = lu_ref[i]
+        acc = o_ref[i]
+        for k in range(n):
+            t = ui[k][None] * o_ref[k]
+            acc = acc - jnp.where(k > i, t, 0.0)
+        dinv = pl.reciprocal(_row_pick(ui, i, n), approx=False)
+        o_ref[i] = acc * dinv[None]
+        return 0
+
+    jax.lax.fori_loop(0, n, bwd, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "t1"))
+def pchol(A: jax.Array, *, interpret: bool = False, t1: int = T1):
+    """Batched Cholesky of SPD planes blocks ``[n, n, P1, P2]`` -> lower L,
+    one fused kernel (clap_CholeskyFactorize's planewise twin)."""
+    n, _, P1, P2 = A.shape
+    t2 = min(T2, P2)
+    spec = pl.BlockSpec((n, n, t1, t2), lambda i, j: (0, 0, i, j))
+    return pl.pallas_call(
+        functools.partial(_chol_kernel, n=n),
+        grid=(P1 // t1, P2 // t2),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(A.shape, A.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=n * n * n * P1 * P2,
+            bytes_accessed=8 * n * n * P1 * P2,
+            transcendentals=n * P1 * P2,
+        ),
+    )(A)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "t1"))
+def pcho_solve(L: jax.Array, B: jax.Array, *, interpret=False, t1: int = T1):
+    """Solve ``(L L') X = B`` on planes blocks in one fused kernel;
+    ``B`` [n, w, P1, P2] is donated."""
+    n, _, P1, P2 = L.shape
+    w = B.shape[1]
+    t2 = min(T2, P2)
+    spec = lambda c: pl.BlockSpec((n, c, t1, t2), lambda i, j: (0, 0, i, j))
+    return pl.pallas_call(
+        functools.partial(_cho_solve_kernel, n=n, w=w),
+        grid=(P1 // t1, P2 // t2),
+        in_specs=[spec(n), spec(w)],
+        out_specs=spec(w),
+        out_shape=jax.ShapeDtypeStruct(B.shape, B.dtype),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * n * w * P1 * P2,
+            bytes_accessed=4 * P1 * P2 * (n * n + 2 * n * w),
+            transcendentals=0,
+        ),
+    )(L, B)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "t1"))
+def plu_solve(A: jax.Array, B: jax.Array, *, interpret=False, t1: int = T1):
+    """Solve ``A X = B`` on planes blocks via fused unpivoted LU (the
+    parallel-scan combine's ``I + C J`` solve); ``B`` is donated."""
+    n, _, P1, P2 = A.shape
+    w = B.shape[1]
+    t2 = min(T2, P2)
+    spec = lambda c: pl.BlockSpec((n, c, t1, t2), lambda i, j: (0, 0, i, j))
+    return pl.pallas_call(
+        functools.partial(_lu_solve_kernel, n=n, w=w),
+        grid=(P1 // t1, P2 // t2),
+        in_specs=[spec(n), spec(w)],
+        out_specs=spec(w),
+        out_shape=jax.ShapeDtypeStruct(B.shape, B.dtype),
+        input_output_aliases={1: 0},
+        scratch_shapes=[pltpu.VMEM((n, n, t1, min(T2, P2)), A.dtype)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * n * n * P1 * P2 // 3 + 2 * n * n * w * P1 * P2,
+            bytes_accessed=4 * P1 * P2 * (n * n + 2 * n * w),
+            transcendentals=0,
+        ),
+    )(A, B)
+
+
+def _schur3_kernel(*refs, n, m, lam_level, logb, t1):
+    """Fused Schur update of one upper level's THREE slabs (lambda/state/
+    input) in one pass: the solved-separator operand ``fs`` streams through
+    VMEM once instead of once per slab (ndlqr_UpdateShurFactor applied to
+    all three factor blocks, nested_dissection.c:154-171)."""
+    al, ax, au, b_ref, cl, cx, cu, ol, ox, ou = refs
+
+    i0 = pl.program_id(0)
+    j0 = pl.program_id(1)
+    t2 = ol.shape[-1]
+    P2 = t2 * pl.num_programs(1)
+    flat = (
+        (i0 * t1 + jax.lax.broadcasted_iota(jnp.int32, (t1, t2), 0)) * P2
+        + j0 * t2
+        + jax.lax.broadcasted_iota(jnp.int32, (t1, t2), 1)
+    )
+    knots = flat >> logb
+    halfspan = 1 << lam_level
+    span = 2 << lam_level
+    keep = jnp.logical_or((knots & (halfspan - 1)) != 0, knots == 0)
+    sep = (knots & (span - 1)) == halfspan
+
+    def rows(a_ref, c_ref, o_ref, p, lam):
+        def body(i, _):
+            acc = b_ref[0] * a_ref[i, 0][None]
+            for k in range(1, n):
+                acc = acc + b_ref[k] * a_ref[i, k][None]
+            if lam:
+                v = c_ref[i] - jnp.where(keep[None], acc, 0.0)
+                o_ref[i] = jnp.where(sep[None], b_ref[i], v)
+            else:
+                o_ref[i] = c_ref[i] - acc
+            return 0
+
+        jax.lax.fori_loop(0, p, body, 0)
+
+    rows(al, cl, ol, n, True)
+    rows(ax, cx, ox, n, False)
+    rows(au, cu, ou, m, False)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("level", "logb", "interpret", "t1")
+)
+def schur3_update_planes(
+    FLl, FLx, FLu, fs_full, Cl, Cx, Cu, *, level, logb, interpret=False,
+    t1: int = T1,
+):
+    """One fused pass updating an upper level's lambda/state/input slabs:
+
+      l' = where(sep+1, fs, l - where(calc_lambda, FLl @ fs, 0))
+      x' = x - FLx @ fs;   u' = u - FLu @ fs
+
+    FL slabs are [p, n, P1, P2]; ``fs_full``/C slabs carry ``q`` block
+    columns (q = n for the factor sweep, q = 1 for the RHS sweep's
+    vectors). The three C slabs are donated."""
+    n = FLl.shape[0]
+    m = FLu.shape[0]
+    q = fs_full.shape[1]
+    P1, P2 = FLl.shape[-2:]
+    t2 = min(T2, P2)
+    spec = lambda p, c: pl.BlockSpec(
+        (p, c, t1, t2), lambda i, j: (0, 0, i, j)
+    )
+    kernel = functools.partial(
+        _schur3_kernel, n=n, m=m, lam_level=level, logb=logb, t1=t1
+    )
+    F = P1 * P2
+    return pl.pallas_call(
+        kernel,
+        grid=(P1 // t1, P2 // t2),
+        in_specs=[
+            spec(n, n), spec(n, n), spec(m, n), spec(n, q),
+            spec(n, q), spec(n, q), spec(m, q),
+        ],
+        out_specs=[spec(n, q), spec(n, q), spec(m, q)],
+        out_shape=[
+            jax.ShapeDtypeStruct(Cl.shape, Cl.dtype),
+            jax.ShapeDtypeStruct(Cx.shape, Cx.dtype),
+            jax.ShapeDtypeStruct(Cu.shape, Cu.dtype),
+        ],
+        input_output_aliases={4: 0, 5: 1, 6: 2},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (2 * n + m) * n * n * F,
+            bytes_accessed=4 * F * n * (3 * (2 * n + m) + n),
+            transcendentals=0,
+        ),
+    )(FLl, FLx, FLu, fs_full, Cl, Cx, Cu)

@@ -175,9 +175,10 @@ def _even_odd(x: jax.Array, em: bool = False):
     (its scan axis is second-minor; unit slices are free).
     """
     if em:
-        L = x.shape[-2]
-        y = x.reshape(x.shape[:-2] + (L // 2, 2, x.shape[-1]))
-        return y[..., 0, :], y[..., 1, :]
+        # Strided slice on the second-minor scan axis: reads whole lane
+        # rows. (A reshape to [.., L/2, 2, B] would retile the minor dims
+        # as (2, B) — 4x sublane padding on any materialization.)
+        return x[..., 0::2, :], x[..., 1::2, :]
     if x.shape[1] <= la.small_block_threshold():
         return x[0::2], x[1::2]
     y = x.reshape((x.shape[0] // 2, 2) + x.shape[1:])
@@ -192,11 +193,12 @@ def _tree_even_odd(elems, em: bool = False):
 def _interleave(a: jax.Array, b: jax.Array, em: bool = False) -> jax.Array:
     """[L, ...], [L, ...] -> [2L, ...] as a0 b0 a1 b1 ... on the scan axis."""
     if em:
+        # Strided scatter on the scan axis (same layout rationale as
+        # _even_odd: avoid the (2, B) minor-dim retile).
         L = a.shape[-2]
-        # stack -> [.., L, 2, B]; row-major reshape interleaves (i, j) -> 2i+j.
-        return jnp.stack([a, b], axis=-2).reshape(
-            a.shape[:-2] + (2 * L, a.shape[-1])
-        )
+        out = jnp.zeros(a.shape[:-2] + (2 * L, a.shape[-1]), a.dtype)
+        out = out.at[..., 0::2, :].set(a)
+        return out.at[..., 1::2, :].set(b)
     return jnp.stack([a, b], axis=1).reshape((-1,) + a.shape[1:])
 
 
@@ -572,13 +574,15 @@ def _solve_pscan_impl(prob: LQRProblem, opts) -> RiccatiSolution:
         # Mid-block dispatch: element-major scan when the element-plane
         # kernels engage (or layout="em" forces it); else the vmap MXU
         # path ("auto" off-TPU) — "grid" pins the plain batch-last path.
+        pi = la._planes_interpret()
+        lane_ok = pi is True or prob.A.shape[0] % 128 == 0
         mid_em = (
             nb == 1
             and n_ <= 64
             and m_ <= 64
             and (
                 opts.layout == "em"
-                or (opts.layout == "auto" and la._planes_interpret() is not None)
+                or (opts.layout == "auto" and pi is not None and lane_ok)
             )
         )
         if mid_em:

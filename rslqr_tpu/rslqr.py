@@ -513,9 +513,24 @@ def _use_em_layout(prob: LQRProblem, options=None) -> bool:
     n_, m_ = prob.A.shape[-2], prob.B.shape[-1]
     if n_ <= thr and m_ <= thr:
         return True
+    nbax = prob.A.ndim - 3
+    Bprod = 1
+    for s in prob.A.shape[:nbax]:
+        Bprod *= s
     with la.pallas_ctx(opts.pallas):
-        planes = la._planes_interpret() is not None
-    return planes and n_ <= 64 and m_ <= 64
+        pi = la._planes_interpret()
+    # Mid-block em auto-dispatch: needs the planes kernels AND a batch
+    # width the masked update kernel accepts (power of two; lane-aligned
+    # unless interpreting — see _planes_update_interp).
+    lane_ok = pi is True or Bprod % 128 == 0
+    return (
+        pi is not None
+        and nbax == 1
+        and n_ <= 64
+        and m_ <= 64
+        and lane_ok
+        and Bprod & (Bprod - 1) == 0
+    )
 
 
 def solve(

@@ -338,6 +338,9 @@ def _planes_update_interp(Fl: jax.Array, nb: int):
     N, B = Fl.shape[2], Fl.shape[3]
     if (N * B) % (8 * 128) or B & (B - 1):
         return None
+    if not interp and B % 128:
+        return None  # sub-lane batch widths relayout every slab (see
+        # linalg._planes_args_ok); XLA fallback is faster there
     if Fl.dtype != jnp.float32 and not interp:
         return None
     return interp
@@ -351,7 +354,7 @@ def _level_update_planes_em(level, depth, Fls, Fxs, Fus, fsols, nb, interp):
     masked pass (read multiplier + read slab + write slab) at full lane
     occupancy — no mat-last transposes, no padded reduce temps. Mutates the
     slab lists."""
-    from .ops.planes_pallas import schur_update_planes
+    from .ops.planes_pallas import schur3_update_planes
 
     n = Fls[level].shape[0]
     m = Fus[level].shape[0]
@@ -369,18 +372,14 @@ def _level_update_planes_em(level, depth, Fls, Fxs, Fus, fsols, nb, interp):
                 fs[:, :, :, None], (n, n, G, span, B)
             ).reshape(n, n, N, B)
         )
-        Fls[u] = schur_update_planes(
-            FL_l, fs_full, flat(Fls[u]), level=level, lam=True, logb=logb,
-            interpret=interp,
-        ).reshape(n, n, N, B)
-        Fxs[u] = schur_update_planes(
-            FL_x, fs_full, flat(Fxs[u]), level=level, lam=False, logb=logb,
-            interpret=interp,
-        ).reshape(n, n, N, B)
-        Fus[u] = schur_update_planes(
-            FL_u, fs_full, flat(Fus[u]), level=level, lam=False, logb=logb,
-            interpret=interp,
-        ).reshape(m, n, N, B)
+        ol, ox, ou = schur3_update_planes(
+            FL_l, FL_x, FL_u, fs_full,
+            flat(Fls[u]), flat(Fxs[u]), flat(Fus[u]),
+            level=level, logb=logb, interpret=interp,
+        )
+        Fls[u] = ol.reshape(n, n, N, B)
+        Fxs[u] = ox.reshape(n, n, N, B)
+        Fus[u] = ou.reshape(m, n, N, B)
 
 
 def _pallas_schur_mode(
@@ -507,6 +506,31 @@ def _rhs_level_em(A, B, level, Fl, Fx, Fu, Lc, zy, zx, zu, nb, options=None):
             zy, zx, zu,
             jnp.moveaxis(zbar, 0, 1),  # [G, n, B] group-major
             level=level, n=n, m=m, interpret=mode,
+        )
+
+    interp_mid = _planes_update_interp(Fl, nb)
+    if interp_mid is not None:
+        # Mid-block: the same fused planes kernel as the factor sweep,
+        # with the z vectors as width-1 block columns.
+        from .ops.planes_pallas import schur3_update_planes
+
+        B_ = zy.shape[2]
+        F = N * B_
+        logb = B_.bit_length() - 1
+        flat = lambda x: x.reshape(x.shape[0], x.shape[1], F // 128, 128)
+        flatv = lambda x: x.reshape(x.shape[0], 1, F // 128, 128)
+        zb_full = jnp.broadcast_to(
+            zbar[:, :, None], (n, G, span, B_)
+        ).reshape(n, N, B_)
+        oy, ox_, ou_ = schur3_update_planes(
+            flat(Fl), flat(Fx), flat(Fu), flatv(zb_full),
+            flatv(zy), flatv(zx), flatv(zu),
+            level=level, logb=logb, interpret=interp_mid,
+        )
+        return (
+            oy.reshape(n, N, B_),
+            ox_.reshape(n, N, B_),
+            ou_.reshape(m, N, B_),
         )
 
     sepw = np.zeros((G, span), dtype=bool)

@@ -118,8 +118,11 @@ def test_schur_update_planes_masks(level):
 
 @pytest.fixture(scope="module")
 def mid_batch():
+    # B=128 satisfies the compiled planes kernels' lane-alignment gate
+    # (interpret mode accepts any width, but keep tests on the production
+    # shape contract).
     prob = rt.random_problem(jax.random.PRNGKey(0), 16, 12, 4, jnp.float64)
-    keys = jax.random.split(jax.random.PRNGKey(1), 64)
+    keys = jax.random.split(jax.random.PRNGKey(1), 128)
     return rt.batch_problems(prob, keys)
 
 
@@ -141,18 +144,19 @@ def test_rslqr_midblock_em_kkt_residual(mid_batch):
 def test_pscan_midblock_em_parity(mid_batch):
     ref = pscan.solve_pscan_kkt(mid_batch, options=OPTS_REF)
     em = pscan.solve_pscan_kkt(mid_batch, options=OPTS_EM)
-    assert float(jnp.max(jnp.abs(em - ref))) == 0.0  # same math, new layout
+    # Same math in a new layout; XLA may re-associate fused reductions.
+    assert float(jnp.max(jnp.abs(em - ref))) < 1e-11
 
 
 def test_pscan_midblock_em_odd_horizon():
     """N=24 exercises the odd-peeling branches of every em scan helper."""
     prob = rt.random_problem(jax.random.PRNGKey(5), 24, 12, 4, jnp.float64)
     batch = rt.batch_problems(
-        prob, jax.random.split(jax.random.PRNGKey(6), 64)
+        prob, jax.random.split(jax.random.PRNGKey(6), 128)
     )
     ref = pscan.solve_pscan_kkt(batch, options=OPTS_REF)
     em = pscan.solve_pscan_kkt(batch, options=OPTS_EM)
-    assert float(jnp.max(jnp.abs(em - ref))) == 0.0
+    assert float(jnp.max(jnp.abs(em - ref))) < 1e-11
 
 
 def test_refine_midblock_em(mid_batch):
