@@ -118,7 +118,7 @@ def _planes_args_ok(arrs, nbatch: int, interp) -> bool:
     F = 1
     for s in b:
         F *= s
-    if F % (8 * 128):
+    if F % 128:
         return False
     if not interp and arrs[0].shape[-1] % 128:
         return False
@@ -130,12 +130,27 @@ def _planes_args_ok(arrs, nbatch: int, interp) -> bool:
     return True
 
 
-def _pv(x: jax.Array) -> jax.Array:
-    """[d0, d1, *b] -> [d0, d1, F // 128, 128] planes view (free reshape)."""
+def _pv(x: jax.Array) -> Tuple[jax.Array, int]:
+    """[d0, d1, *b] -> ([d0, d1, R, 128], rows): the flat planes view,
+    row-padded to a multiple of the (8, 128) f32 tile. Sub-tile planes
+    (deep tree levels / short scan segments) would otherwise fall back to
+    the unrolled XLA paths — thousands of tiny ops that dominate dispatch
+    AND compile time. Padded plane elements never mix with real ones (the
+    kernels are elementwise over the plane), so garbage there is sliced
+    off harmlessly."""
     F = 1
     for s in x.shape[2:]:
         F *= s
-    return x.reshape(x.shape[0], x.shape[1], F // 128, 128)
+    rows = F // 128
+    p = x.reshape(x.shape[0], x.shape[1], rows, 128)
+    R = -(-rows // 8) * 8
+    if R != rows:
+        p = jnp.pad(p, ((0, 0), (0, 0), (0, R - rows), (0, 0)))
+    return p, rows
+
+
+def _unpv(p: jax.Array, rows: int, shape) -> jax.Array:
+    return p[:, :, :rows, :].reshape(shape)
 
 
 def _planes_chol_maybe(A: jax.Array, nbatch: int) -> Optional[jax.Array]:
@@ -145,7 +160,8 @@ def _planes_chol_maybe(A: jax.Array, nbatch: int) -> Optional[jax.Array]:
         return None
     from .ops.planes_pallas import pchol
 
-    return pchol(_pv(A), interpret=interp).reshape(A.shape)
+    p, rows = _pv(A)
+    return _unpv(pchol(p, interpret=interp), rows, A.shape)
 
 
 def _planes_cho_solve_maybe(L, B, nbatch: int) -> Optional[jax.Array]:
@@ -154,7 +170,9 @@ def _planes_cho_solve_maybe(L, B, nbatch: int) -> Optional[jax.Array]:
         return None
     from .ops.planes_pallas import pcho_solve
 
-    return pcho_solve(_pv(L), _pv(B), interpret=interp).reshape(B.shape)
+    lp, rows = _pv(L)
+    bp, _ = _pv(B)
+    return _unpv(pcho_solve(lp, bp, interpret=interp), rows, B.shape)
 
 
 def _planes_lu_solve_maybe(A, B, nbatch: int) -> Optional[jax.Array]:
@@ -163,7 +181,9 @@ def _planes_lu_solve_maybe(A, B, nbatch: int) -> Optional[jax.Array]:
         return None
     from .ops.planes_pallas import plu_solve
 
-    return plu_solve(_pv(A), _pv(B), interpret=interp).reshape(B.shape)
+    ap, rows = _pv(A)
+    bp, _ = _pv(B)
+    return _unpv(plu_solve(ap, bp, interpret=interp), rows, B.shape)
 
 
 def _planes_gemm_maybe(
@@ -174,32 +194,17 @@ def _planes_gemm_maybe(
     ``None`` when not applicable (caller picks its fallback).
     ``A``: [.., p, K, *b]; ``B``: [.., K, q, *b]."""
     interp = _planes_interpret()
-    flat_ok = (
-        interp is not None
-        and A.ndim == 2 + nbatch
-        and B.ndim == 2 + nbatch
-        and A.shape[2:] == B.shape[2:]
-        and A.dtype == B.dtype
-        and (A.dtype == jnp.float32 or interp)
-    )
-    if not flat_ok:
+    if not _planes_args_ok((A, B), nbatch, interp):
         return None
     bshape = A.shape[2:]
-    F = 1
-    for s in bshape:
-        F *= s
-    if F % (8 * 128):
-        return None
     from .ops.planes_pallas import pgemm
 
     p, K = A.shape[:2]
     q = B.shape[1]
-    out = pgemm(
-        A.reshape(p, K, F // 128, 128),
-        B.reshape(K, q, F // 128, 128),
-        interpret=interp,
-    )
-    return out.reshape((p, q) + bshape)
+    ap, rows = _pv(A)
+    bp, _ = _pv(B)
+    out = pgemm(ap, bp, interpret=interp)
+    return _unpv(out, rows, (p, q) + bshape)
 
 
 def bgemm(A: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
@@ -554,6 +559,38 @@ def bsolve(A: jax.Array, B: jax.Array, nbatch: int = 1) -> jax.Array:
 def bsolve_vec(A: jax.Array, b: jax.Array, nbatch: int = 1) -> jax.Array:
     """Vector-RHS general solve: ``[..., n, n, *b] \\ [..., n, *b]``."""
     return bsolve(A, jnp.expand_dims(b, -(nbatch + 1)), nbatch).squeeze(-(nbatch + 1))
+
+
+def bsolve_multi(A: jax.Array, Bs, nbatch: int = 1):
+    """Solve ``A X_i = B_i`` for several right-hand sides with ONE
+    factorization. Mid-size blocks use the fused multi-RHS planes LU
+    kernel — each ``B_i`` passed separately and donated, so the caller
+    skips the stacked-RHS concat and slice-back copies (measured as ~2x
+    the useful traffic of the scan combine's solves). Fallback stacks
+    and splits. Unpivoted in the mid-block path — same conditioning
+    caveat as :func:`blu_factor`."""
+    Bs = tuple(Bs)
+    n = A.shape[-(nbatch + 2)]
+    if n > small_block_threshold() and A.shape[0] <= 64:
+        interp = _planes_interpret()
+        if _planes_args_ok((A,) + Bs, nbatch, interp):
+            from .ops.planes_pallas import plu_solve_multi
+
+            ap, rows = _pv(A)
+            bps = [_pv(b)[0] for b in Bs]
+            outs = plu_solve_multi(ap, *bps, interpret=interp)
+            return tuple(
+                _unpv(o, rows, b.shape) for o, b in zip(outs, Bs)
+            )
+    w_axis = -(nbatch + 1)
+    X = bsolve(A, jnp.concatenate(Bs, axis=w_axis), nbatch)
+    outs, off = [], 0
+    for b in Bs:
+        w = b.shape[w_axis]
+        idx = (Ellipsis, slice(off, off + w)) + (slice(None),) * nbatch
+        outs.append(X[idx])
+        off += w
+    return tuple(outs)
 
 
 def blu_factor(A: jax.Array, nbatch: int = 1) -> Tuple[jax.Array, jax.Array]:

@@ -277,12 +277,19 @@ def _cho_solve_kernel(l_ref, b_ref, o_ref, *, n, w):
     jax.lax.fori_loop(0, n, bwd, 0)
 
 
-def _lu_solve_kernel(a_ref, b_ref, o_ref, lu_ref, *, n, w):
-    """Solve A X = B via in-VMEM unpivoted Doolittle LU + substitutions.
+def _lu_solve_kernel(*refs, n, nrhs):
+    """Solve ``A X_r = B_r`` for ``nrhs`` right-hand sides with ONE
+    in-VMEM unpivoted Doolittle LU + substitutions per RHS.
 
     No pivoting: intended for well-conditioned blocks like the parallel
     scan combine's ``I + C J`` (eigenvalues >= 1; see linalg.blu_factor).
+    Multiple RHS operands let the combine skip the stacked-RHS concat and
+    slice-back copies entirely.
     """
+    a_ref = refs[0]
+    b_refs = refs[1 : 1 + nrhs]
+    o_refs = refs[1 + nrhs : 1 + 2 * nrhs]
+    lu_ref = refs[-1]
     lu_ref[:] = a_ref[:]
     ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
 
@@ -300,31 +307,32 @@ def _lu_solve_kernel(a_ref, b_ref, o_ref, lu_ref, *, n, w):
 
     jax.lax.fori_loop(0, n, step, 0)
 
-    o_ref[:] = b_ref[:]
+    for b_ref, o_ref in zip(b_refs, o_refs):
+        o_ref[:] = b_ref[:]
 
-    def fwd(i, _):  # unit-lower forward substitution
-        li = lu_ref[i]
-        acc = o_ref[i]
-        for k in range(n):
-            t = li[k][None] * o_ref[k]
-            acc = acc - jnp.where(k < i, t, 0.0)
-        o_ref[i] = acc
-        return 0
+        def fwd(i, _, o_ref=o_ref):  # unit-lower forward substitution
+            li = lu_ref[i]
+            acc = o_ref[i]
+            for k in range(n):
+                t = li[k][None] * o_ref[k]
+                acc = acc - jnp.where(k < i, t, 0.0)
+            o_ref[i] = acc
+            return 0
 
-    jax.lax.fori_loop(0, n, fwd, 0)
+        jax.lax.fori_loop(0, n, fwd, 0)
 
-    def bwd(s, _):  # U back substitution
-        i = n - 1 - s
-        ui = lu_ref[i]
-        acc = o_ref[i]
-        for k in range(n):
-            t = ui[k][None] * o_ref[k]
-            acc = acc - jnp.where(k > i, t, 0.0)
-        dinv = pl.reciprocal(_row_pick(ui, i, n), approx=False)
-        o_ref[i] = acc * dinv[None]
-        return 0
+        def bwd(s, _, o_ref=o_ref):  # U back substitution
+            i = n - 1 - s
+            ui = lu_ref[i]
+            acc = o_ref[i]
+            for k in range(n):
+                t = ui[k][None] * o_ref[k]
+                acc = acc - jnp.where(k > i, t, 0.0)
+            dinv = pl.reciprocal(_row_pick(ui, i, n), approx=False)
+            o_ref[i] = acc * dinv[None]
+            return 0
 
-    jax.lax.fori_loop(0, n, bwd, 0)
+        jax.lax.fori_loop(0, n, bwd, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "t1"))
@@ -376,29 +384,38 @@ def pcho_solve(L: jax.Array, B: jax.Array, *, interpret=False, t1: int = T1):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "t1"))
-def plu_solve(A: jax.Array, B: jax.Array, *, interpret=False, t1: int = T1):
-    """Solve ``A X = B`` on planes blocks via fused unpivoted LU (the
-    parallel-scan combine's ``I + C J`` solve); ``B`` is donated."""
+def plu_solve_multi(A: jax.Array, *Bs, interpret=False, t1: int = T1):
+    """Solve ``A X_r = B_r`` for every RHS on planes blocks via ONE fused
+    unpivoted LU (the parallel-scan combine's ``I + C J`` solve with its
+    matrix and vector right-hand sides passed separately — no stacked-RHS
+    concat). Every ``B_r`` is donated."""
     n, _, P1, P2 = A.shape
-    w = B.shape[1]
     t2 = min(T2, P2)
     spec = lambda c: pl.BlockSpec((n, c, t1, t2), lambda i, j: (0, 0, i, j))
+    nrhs = len(Bs)
+    wtot = sum(b.shape[1] for b in Bs)
     return pl.pallas_call(
-        functools.partial(_lu_solve_kernel, n=n, w=w),
+        functools.partial(_lu_solve_kernel, n=n, nrhs=nrhs),
         grid=(P1 // t1, P2 // t2),
-        in_specs=[spec(n), spec(w)],
-        out_specs=spec(w),
-        out_shape=jax.ShapeDtypeStruct(B.shape, B.dtype),
-        input_output_aliases={1: 0},
-        scratch_shapes=[pltpu.VMEM((n, n, t1, min(T2, P2)), A.dtype)],
+        in_specs=[spec(n)] + [spec(b.shape[1]) for b in Bs],
+        out_specs=[spec(b.shape[1]) for b in Bs],
+        out_shape=[jax.ShapeDtypeStruct(b.shape, b.dtype) for b in Bs],
+        input_output_aliases={1 + r: r for r in range(nrhs)},
+        scratch_shapes=[pltpu.VMEM((n, n, t1, t2), A.dtype)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * n * n * P1 * P2 // 3 + 2 * n * n * w * P1 * P2,
-            bytes_accessed=4 * P1 * P2 * (n * n + 2 * n * w),
+            flops=2 * n * n * n * P1 * P2 // 3
+            + 2 * n * n * wtot * P1 * P2,
+            bytes_accessed=4 * P1 * P2 * (n * n + 2 * n * wtot),
             transcendentals=0,
         ),
-    )(A, B)
+    )(A, *Bs)
+
+
+def plu_solve(A: jax.Array, B: jax.Array, *, interpret=False, t1: int = T1):
+    """Single-RHS convenience over :func:`plu_solve_multi` (``B`` donated)."""
+    return plu_solve_multi(A, B, interpret=interpret, t1=t1)[0]
 
 
 def _schur3_kernel(*refs, n, m, lam_level, logb, t1):

@@ -80,30 +80,28 @@ def _combine(e1, e2, nb: int):
 
     IC = eye + la.bgemm(C1, J2, nb)
     w = eta2 - la.bgemv(J2, c1, nb)
-    rhs = jnp.concatenate(
-        [
-            F1,
-            jnp.expand_dims(c1 + la.bgemv(C1, eta2, nb), -(nb + 1)),
-            C1,
-            jnp.expand_dims(la.bgemv(C1, w, nb), -(nb + 1)),
-        ],
-        axis=-(nb + 1),
-    )
+    ve = lambda v: jnp.expand_dims(v, -(nb + 1))
+    b_c = ve(c1 + la.bgemv(C1, eta2, nb))
+    b_w = ve(la.bgemv(C1, w, nb))
+    F1t = la.transpose_block(F1, nb)  # before the solve: F1 may be donated
     if n <= la.small_block_threshold():
+        rhs = jnp.concatenate([F1, b_c, C1, b_w], axis=-(nb + 1))
         LU, dinv = la.blu_factor(IC, nb)
         sol = la.blu_solve(LU, dinv, rhs, nb)
+        MF1 = sol[(Ellipsis, slice(0, n)) + (slice(None),) * nb]
+        Mc = sol[(Ellipsis, n) + (slice(None),) * nb]
+        MC1 = sol[(Ellipsis, slice(n + 1, 2 * n + 1)) + (slice(None),) * nb]
+        MCw = sol[(Ellipsis, 2 * n + 1) + (slice(None),) * nb]
     else:
-        sol = la.bsolve(IC, rhs, nb)
-    MF1 = sol[(Ellipsis, slice(0, n)) + (slice(None),) * nb]
-    Mc = sol[(Ellipsis, n) + (slice(None),) * nb]
-    MC1 = sol[(Ellipsis, slice(n + 1, 2 * n + 1)) + (slice(None),) * nb]
-    MCw = sol[(Ellipsis, 2 * n + 1) + (slice(None),) * nb]
+        # Mid-block: one fused multi-RHS LU kernel, no stacked-RHS copies.
+        MF1, Mcm, MC1, MCwm = la.bsolve_multi(IC, (F1, b_c, C1, b_w), nb)
+        Mc = Mcm.squeeze(-(nb + 1))
+        MCw = MCwm.squeeze(-(nb + 1))
 
     F = la.bgemm(F2, MF1, nb)
     c = la.bgemv(F2, Mc, nb) + c2
     C = la.bgemm(la.bgemm(F2, MC1, nb), la.transpose_block(F2, nb), nb) + C2
 
-    F1t = la.transpose_block(F1, nb)
     J = la.bgemm(F1t, la.bgemm(J2, MF1, nb), nb) + J1
     eta = la.bgemv(F1t, w - la.bgemv(J2, MCw, nb), nb) + eta1
     return (F, c, C, eta, J)
@@ -127,18 +125,18 @@ def _combine_reduced(e1, pj2, nb: int):
 
     IC = eye + la.bgemm(C1, J2, nb)
     w = eta2 - la.bgemv(J2, c1, nb)
-    rhs = jnp.concatenate(
-        [F1, jnp.expand_dims(la.bgemv(C1, w, nb), -(nb + 1))], axis=-(nb + 1)
-    )
+    b_w = jnp.expand_dims(la.bgemv(C1, w, nb), -(nb + 1))
+    F1t = la.transpose_block(F1, nb)  # before the solve: F1 may be donated
     if n <= la.small_block_threshold():
+        rhs = jnp.concatenate([F1, b_w], axis=-(nb + 1))
         LU, dinv = la.blu_factor(IC, nb)
         sol = la.blu_solve(LU, dinv, rhs, nb)
+        MF1 = sol[(Ellipsis, slice(0, n)) + (slice(None),) * nb]
+        MCw = sol[(Ellipsis, n) + (slice(None),) * nb]
     else:
-        sol = la.bsolve(IC, rhs, nb)
-    MF1 = sol[(Ellipsis, slice(0, n)) + (slice(None),) * nb]
-    MCw = sol[(Ellipsis, n) + (slice(None),) * nb]
+        MF1, MCwm = la.bsolve_multi(IC, (F1, b_w), nb)
+        MCw = MCwm.squeeze(-(nb + 1))
 
-    F1t = la.transpose_block(F1, nb)
     J = la.bgemm(F1t, la.bgemm(J2, MF1, nb), nb) + J1
     eta = la.bgemv(F1t, w - la.bgemv(J2, MCw, nb), nb) + eta1
     return eta, J

@@ -302,6 +302,15 @@ def _level_update_xla_em(level, depth, Fls, Fxs, Fus, fsols, nb):
     fdt = Fls[0].dtype
     for u in range(level + 1, depth):
         f_u = jnp.expand_dims(fsols[u], -(nb + 1))  # [n, n, G, 1, *b]
+        # Explicit span broadcast: the small-block reduce gemm broadcasts
+        # implicitly, but the mid-block MXU fallback (dot_general) needs
+        # equal batch dims.
+        f_u = jnp.broadcast_to(
+            f_u,
+            f_u.shape[: f_u.ndim - (nb + 1)]
+            + (span,)
+            + f_u.shape[f_u.ndim - nb:],
+        )
         upd_l = la.bgemm(FL_l, f_u, nk + 1)
         Fls[u] = _ugk(
             jnp.where(
