@@ -275,6 +275,52 @@ def bgemv(A: jax.Array, x: jax.Array, nbatch: int = 1) -> jax.Array:
     return jnp.sum(A * xe, axis=-(nbatch + 1))
 
 
+def bgemm_tt(
+    A: jax.Array,
+    B: jax.Array,
+    nbatch: int = 1,
+    *,
+    ta: bool = False,
+    tbt: bool = False,
+    cin: Optional[jax.Array] = None,
+    sub: bool = True,
+) -> jax.Array:
+    """Planes gemm with transpose flags and optional fused accumulate:
+    ``op(A) @ op(B)`` or ``cin -/+ op(A) @ op(B)`` (``cin`` is DONATED).
+
+    ``ta``: A stored transposed (``[.., K, p, *b]``); ``tbt``: B stored
+    transposed (``[.., q, K, *b]``). On the mid-block element-plane path the
+    transposes are free (the kernel reads the flags, ops/planes_pallas.py)
+    — a pallas_call cannot fuse an XLA transpose, so pre-transposing an
+    operand would cost a full relayout pass. Falls back to explicit block
+    transposes + :func:`bgemm` when the planes kernel is not applicable.
+    """
+    interp = _planes_interpret()
+    arrs = (A, B) + ((cin,) if cin is not None else ())
+    if (
+        _planes_args_ok(arrs, nbatch, interp)
+        and max(A.shape[0], A.shape[1]) > small_block_threshold()
+    ):
+        from .ops.planes_pallas import _pgemm_call
+
+        p = A.shape[1] if ta else A.shape[0]
+        q = B.shape[0] if tbt else B.shape[1]
+        bshape = A.shape[2:]
+        ap, rows = _pv(A)
+        bp, _ = _pv(B)
+        cp = _pv(cin)[0] if cin is not None else None
+        out = _pgemm_call(
+            ap, bp, cp, ta=ta, tbt=tbt, sub=sub, interpret=interp
+        )
+        return _unpv(out, rows, (p, q) + bshape)
+    At = transpose_block(A, nbatch) if ta else A
+    Bt = transpose_block(B, nbatch) if tbt else B
+    out = bgemm(At, Bt, nbatch)
+    if cin is not None:
+        out = cin - out if sub else cin + out
+    return out
+
+
 def _to_mat_last(A: jax.Array, nbatch: int) -> jax.Array:
     """[..., p, q, *b] -> [..., *b, p, q] for lax.linalg batched ops."""
     nd = A.ndim

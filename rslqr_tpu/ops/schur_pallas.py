@@ -464,6 +464,239 @@ def schur_update_level_em(
     return slabs + (list(outs[3 * U : 4 * U]),)
 
 
+def _pair_kernel(
+    *refs, n, m, level, tk, tb, span, U, gd, gd2b, gd3, N
+):
+    """Kernel body for :func:`schur_update_pair_em`: apply levels ``level``
+    AND ``level + 1`` to every upper slab in ONE read+write pass.
+
+    The second level's multiplier planes are the first update's results for
+    ``u = level + 1``, held in registers — the level-(L+1) slab pass of the
+    single-level flow (its multiplier re-read plus a full r/w of every
+    upper slab) never touches HBM. ``span`` is level L's group span;
+    ``gd``/``gd2b``/``gd3`` are the fsol1/fsol2/emission group counts per
+    tile.
+    """
+    nn, mn = n * n, m * n
+    U2 = U - 1
+    emit = gd3 > 0
+    i = pl.program_id(0)
+    halfspan = 1 << level
+    span2 = 2 * span
+    rpg1 = max(tk // gd, 1)
+    rpg2 = max(tk // gd2b, 1)
+
+    knots = i * tk + jax.lax.broadcasted_iota(jnp.int32, (tk, 1), 0)
+    keep1 = jnp.logical_or((knots & (halfspan - 1)) != 0, knots == 0)
+    sep1 = (knots & (span - 1)) == halfspan
+    # Level L+1 masks (nested_dissection.c:173-177 at the next level).
+    keep2 = jnp.logical_or((knots & (span - 1)) != 0, knots == 0)
+    sep2 = (knots & (span2 - 1)) == span
+
+    fll, flx, flu = refs[0:3]
+    fls = refs[3 : 3 + U]
+    fxs = refs[3 + U : 3 + 2 * U]
+    fus = refs[3 + 2 * U : 3 + 3 * U]
+    f1s = refs[3 + 3 * U : 3 + 4 * U]
+    sbar2 = refs[3 + 4 * U]
+    f2s = refs[4 + 4 * U : 4 + 4 * U + U2]
+    k = 4 + 4 * U + U2
+    if emit:
+        aref, bref = refs[k : k + 2]
+        k += 2
+    outs = refs[k:]
+    ols, oxs, ous = outs[0:U], outs[U : 2 * U], outs[2 * U : 3 * U]
+    oSs = outs[3 * U : 3 * U + U2] if emit else None
+    fdt = ols[0].dtype
+
+    FLl = lambda e: fll[e]
+    FLx = lambda e: flx[e]
+    FLu = lambda e: flu[e]
+
+    mult2 = None
+    for uu in range(U):
+        # ---- update 1 (level L) ----
+        fs = f1s[uu]
+        fpl1 = [_group_broadcast(fs, e, gd, rpg1, tb) for e in range(nn)]
+        ul = _mm_planes(FLl, fpl1, n, n)
+        ux = _mm_planes(FLx, fpl1, n, n)
+        uu_ = _mm_planes(FLu, fpl1, m, n)
+        vl = [
+            jnp.where(sep1, fpl1[e], fls[uu][e] - jnp.where(keep1, ul[e], 0.0))
+            for e in range(nn)
+        ]
+        vx = [fxs[uu][e] - ux[e] for e in range(nn)]
+        vu = [fus[uu][e] - uu_[e] for e in range(mn)]
+        if uu == 0:
+            # u == L+1: fold its Sbar (pre-pass S2[0]) into the lambda slab
+            # at sep2+1 rows (solve.c:92-97 placement), then these planes
+            # ARE the level-(L+1) multiplier.
+            vl = _fold_rows(vl, sbar2, gd2b, span, tk, knots)
+            mult2 = (vl, vx, vu)
+        else:
+            # ---- update 2 (level L+1) ----
+            fs2 = f2s[uu - 1]
+            fpl2 = [
+                _group_broadcast(fs2, e, gd2b, rpg2, tb) for e in range(nn)
+            ]
+            m2l, m2x, m2u = mult2
+            u2l = _mm_planes(lambda e: m2l[e], fpl2, n, n)
+            u2x = _mm_planes(lambda e: m2x[e], fpl2, n, n)
+            u2u = _mm_planes(lambda e: m2u[e], fpl2, m, n)
+            vl = [
+                jnp.where(
+                    sep2, fpl2[e], vl[e] - jnp.where(keep2, u2l[e], 0.0)
+                )
+                for e in range(nn)
+            ]
+            vx = [vx[e] - u2x[e] for e in range(nn)]
+            vu = [vu[e] - u2u[e] for e in range(mn)]
+            if emit:
+                S = _emit_S(
+                    vl, vx, vu, aref, bref, n, m, gd3, span2, oSs[uu - 1].dtype
+                )
+                oSs[uu - 1][:] = S
+                if uu == 1:
+                    # u == L+2: fold its own Sbar into this store.
+                    vl = _fold_rows(vl, S, gd3, span2, tk, knots)
+        ols[uu][:] = jnp.stack(vl, axis=0).astype(fdt)
+        oxs[uu][:] = jnp.stack(vx, axis=0).astype(fdt)
+        ous[uu][:] = jnp.stack(vu, axis=0).astype(fdt)
+
+
+def _tiles_pair(
+    level: int, N: int, B: int, dtype, tb: int, slab_elems: int, U: int
+) -> Tuple[int, int, int, int, int, int]:
+    """Tiling for the paired kernel: ``(span, tk, gd1, gd2b, gd3, tb)``.
+
+    ``tk`` must cover whole level-(L+1) groups (``2 * span``); emission of
+    the level-(L+2) products additionally needs ``tk`` to cover whole
+    L+2 groups (``4 * span``), taken when the pipelined slab blocks
+    (``slab_elems`` element planes per slab trio, ``U + 1`` trios, double
+    buffered) fit the VMEM budget.
+    """
+    span = 1 << (level + 1)
+    span2 = 2 * span
+    min_tk = 16 if dtype == jnp.bfloat16 else 8
+    tb = min(tb, B)
+    itemsize = jnp.dtype(dtype).itemsize
+    est = lambda tk: (1 + U) * slab_elems * tk * tb * itemsize * 2
+    tk_emit = max(2 * span2, min_tk)
+    tk_plain = max(span2, min_tk)
+    if tk_emit <= N and est(tk_emit) <= 60 * 1024 * 1024:
+        tk = tk_emit
+        gd3 = tk // span2 // 2
+    else:
+        tk = min(tk_plain, N)
+        gd3 = 0
+    if N % tk or B % tb:
+        raise ValueError(f"N={N} B={B} not divisible by pair tiles ({tk},{tb})")
+    return span, tk, max(tk // span, 1), max(tk // span2, 1), gd3, tb
+
+
+@functools.partial(
+    jax.jit, static_argnames=("level", "n", "m", "interpret", "tb")
+)
+def schur_update_pair_em(
+    FLl: jax.Array,            # [nn, N, B] level-L lambda multiplier slab
+    FLx: jax.Array,
+    FLu: jax.Array,            # [mn, N, B]
+    Fls: Sequence[jax.Array],  # U upper-level slabs (u = L+1..depth-1)
+    Fxs: Sequence[jax.Array],
+    Fus: Sequence[jax.Array],
+    fsol1: Sequence[jax.Array],  # U solved level-L separators [G1, nn, B]
+    Sbar2: jax.Array,            # [G2, nn, B] level-(L+1) Sbar (pre-pass)
+    fsol2: Sequence[jax.Array],  # U-1 solved level-(L+1) separators [G2,nn,B]
+    Asep3: Optional[jax.Array] = None,  # [G3, nn, B] A at L+2 separators
+    Bsep3: Optional[jax.Array] = None,
+    *,
+    level: int,
+    n: int,
+    m: int,
+    interpret: bool = False,
+    tb: int = 128,
+):
+    """Apply the Schur updates of levels ``level`` and ``level + 1`` to every
+    upper slab in ONE HBM pass per slab (plus both separator write-backs and
+    the level-(L+2) product emission).
+
+    The mid-pair products ``S_{L+1}`` come from a compact XLA pre-pass
+    (rslqr_em._pair_prepass) — only separator rows are touched there, so the
+    full level-(L+1) slab pass of the single-level flow (~(1 + 2*(U-1))
+    slab-trio reads/writes) is eliminated. Ref solve.c:68-134 (two level
+    iterations fused).
+    """
+    nn, N, B = FLl.shape
+    mn = m * n
+    U = len(Fls)
+    span, tk, gd, gd2b, gd3, tb = _tiles_pair(
+        level, N, B, FLl.dtype, tb, 2 * nn + mn, U
+    )
+    emit = gd3 > 0 and Asep3 is not None and U >= 2
+    if not emit:
+        gd3 = 0
+    span2 = 2 * span
+
+    grid = (N // tk, B // tb)
+    slab_spec = lambda e: pl.BlockSpec((e, tk, tb), lambda i, j: (0, i, j))
+    f1_spec = pl.BlockSpec(
+        (gd, nn, tb), lambda i, j: ((i * tk) // (span * gd), 0, j)
+    )
+    f2_spec = pl.BlockSpec(
+        (gd2b, nn, tb), lambda i, j: ((i * tk) // (span2 * gd2b), 0, j)
+    )
+    ex_spec = lambda e: pl.BlockSpec((gd3, e, tb), lambda i, j: (i, 0, j))
+    in_specs = (
+        [slab_spec(nn), slab_spec(nn), slab_spec(mn)]
+        + [slab_spec(nn)] * U
+        + [slab_spec(nn)] * U
+        + [slab_spec(mn)] * U
+        + [f1_spec] * U
+        + [f2_spec]
+        + [f2_spec] * (U - 1)
+    )
+    args = [FLl, FLx, FLu, *Fls, *Fxs, *Fus, *fsol1, Sbar2, *fsol2]
+    if emit:
+        in_specs += [ex_spec(nn), ex_spec(mn)]
+        args += [Asep3, Bsep3]
+    out_specs = [slab_spec(nn)] * U + [slab_spec(nn)] * U + [slab_spec(mn)] * U
+    out_shape = (
+        [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in Fls]
+        + [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in Fxs]
+        + [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in Fus]
+    )
+    if emit:
+        G3 = N // (2 * span2)
+        dt = fsol1[0].dtype
+        out_specs += [ex_spec(nn)] * (U - 1)
+        out_shape += [jax.ShapeDtypeStruct((G3, nn, B), dt)] * (U - 1)
+    aliases = {}
+    for u in range(U):
+        aliases[3 + u] = u
+        aliases[3 + U + u] = U + u
+        aliases[3 + 2 * U + u] = 2 * U + u
+    kernel = functools.partial(
+        _pair_kernel, n=n, m=m, level=level, tk=tk, tb=tb, span=span, U=U,
+        gd=gd, gd2b=gd2b, gd3=gd3, N=N,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(*args)
+    slabs = tuple(outs[:U]), tuple(outs[U : 2 * U]), tuple(outs[2 * U : 3 * U])
+    if not emit:
+        return slabs + (None,)
+    return slabs + (list(outs[3 * U : 4 * U - 1]),)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("depth", "n", "m", "interpret", "tb", "factor_dtype"),

@@ -392,14 +392,136 @@ def _forward_scan(prob_bl: LQRProblem, K, d, nb: int):
     return X
 
 
+def _combine_leaf_pair(l1, l2, nb: int):
+    """Full combine specialized to LEAF operands: ``C1 = Brinv1 @ B1'``
+    has rank m and ``J2 = diag(Qd2)``, so the n-by-n ``(I + C1 J2)`` solve
+    collapses to an m-by-m Woodbury solve:
+
+      M1 = (I + U V J2)^{-1} = I - U Sm^{-1} V J2,  Sm = I_m + (V J2) U
+      M1 U = U Sm^{-1}  (so every M1-application is a chain through M1U)
+
+    with ``U = Brinv1``, ``V = B1'``. At the quadruped scale (n=36, m=12)
+    this roughly halves the first (largest) up-sweep level's FLOPs and
+    never materializes the leaf ``C``/``J`` slabs. ``l1``/``l2`` are
+    ``(A, Brinv, Bt, c, eta, Qd)`` element-major leaf tuples; the right
+    element may be the terminal pure-cost element via zeroed A/B rows.
+    """
+    A1, U1, V1, c1, eta1, Qd1 = l1
+    A2, U2, V2, c2, eta2, Qd2 = l2
+    n, m = A1.shape[0], U1.shape[1]
+    dg_m = (jnp.arange(m), jnp.arange(m))
+    dg_n = (jnp.arange(n), jnp.arange(n))
+
+    T = V1 * Qd2[None]  # B1' J2: column j scaled by Qd2[j]
+    Sm = la.bgemm_tt(T, U1, nb).at[dg_m].add(1.0)
+    eyeP = jnp.zeros(Sm.shape, Sm.dtype).at[dg_m].set(1.0)
+    (G_I,) = la.bsolve_multi(Sm, (eyeP,), nb)
+    M1U = la.bgemm_tt(U1, G_I, nb)  # U Sm^{-1} [n, m]
+    TA1 = la.bgemm_tt(T, A1, nb)    # [m, n]
+    MF1 = A1 - la.bgemm_tt(M1U, TA1, nb)
+
+    F = la.bgemm_tt(A2, MF1, nb)
+    # C = F2 (M1 C1) F2' + C2 = (F2 M1U) (V1 F2') + C2.
+    W = la.bgemm_tt(A2, M1U, nb)            # [n, m]
+    Vt = la.bgemm_tt(V1, A2, nb, tbt=True)  # B1' A2' [m, n]
+    C2 = la.bgemm_tt(U2, V2, nb)            # Brinv2 B2'
+    C = la.bgemm_tt(W, Vt, nb, cin=C2, sub=False)
+    # J = F1' (J2 M1 F1) + J1, J2 diagonal -> row scale.
+    J = la.bgemm_tt(A1, MF1 * Qd2[:, None], nb, ta=True).at[dg_n].add(Qd1)
+
+    b_c = c1 + la.bgemv(U1, la.bgemv(V1, eta2, nb), nb)
+    c = la.bgemv(A2, b_c - la.bgemv(M1U, la.bgemv(T, b_c, nb), nb), nb) + c2
+    w = eta2 - Qd2 * c1
+    MCw = la.bgemv(M1U, la.bgemv(V1, w, nb), nb)  # M1 C1 w = M1U (V1 w)
+    A1t = la.transpose_block(A1, nb)
+    eta = la.bgemv(A1t, w - Qd2 * MCw, nb) + eta1
+    return (F, c, C, eta, J)
+
+
+def _combine_reduced_leaf(l1, pj2, nb: int):
+    """Reduced combine with a LEAF left element: the rank-m Woodbury form
+    of :func:`_combine_reduced` (same identity as :func:`_combine_leaf_pair`
+    but with a full right cost-to-go ``J2``). This is the whole finest
+    level of the suffix scan's down-sweep — mathematically one backward
+    Riccati step per odd knot (riccati_solve.c:38-112)."""
+    A1, U1, V1, c1, eta1, Qd1 = l1
+    eta2, J2 = pj2
+    m = U1.shape[1]
+    n = A1.shape[0]
+    dg_m = (jnp.arange(m), jnp.arange(m))
+    dg_n = (jnp.arange(n), jnp.arange(n))
+
+    T = la.bgemm_tt(V1, J2, nb)  # B1' J2 [m, n]
+    Sm = la.bgemm_tt(T, U1, nb).at[dg_m].add(1.0)
+    eyeP = jnp.zeros(Sm.shape, Sm.dtype).at[dg_m].set(1.0)
+    (G_I,) = la.bsolve_multi(Sm, (eyeP,), nb)
+    M1U = la.bgemm_tt(U1, G_I, nb)
+    TA1 = la.bgemm_tt(T, A1, nb)
+    MF1 = A1 - la.bgemm_tt(M1U, TA1, nb)
+
+    J2MF1 = la.bgemm_tt(J2, MF1, nb)
+    J = la.bgemm_tt(A1, J2MF1, nb, ta=True).at[dg_n].add(Qd1)
+    w = eta2 - la.bgemv(J2, c1, nb)
+    MCw = la.bgemv(M1U, la.bgemv(V1, w, nb), nb)
+    eta = (
+        la.bgemv(la.transpose_block(A1, nb), w - la.bgemv(J2, MCw, nb), nb)
+        + eta1
+    )
+    return eta, J
+
+
+def _suffix_pj_leaf_em(leaf, nb2: int):
+    """First suffix-scan level on structured leaves (element-major): pair
+    combines via :func:`_combine_leaf_pair`, generic :func:`_suffix_pj` over
+    the composites, finest down-sweep via :func:`_combine_reduced_leaf`."""
+    A, U, V, c, eta, Qd = leaf
+    n = A.shape[0]
+    sp = lambda x: _even_odd(x, em=True)
+    A1, A2 = sp(A)
+    U1, U2 = sp(U)
+    V1, V2 = sp(V)
+    c1, c2 = sp(c)
+    eta1, eta2 = sp(eta)
+    Qd1, Qd2 = sp(Qd)
+    comp = _combine_leaf_pair(
+        (A1, U1, V1, c1, eta1, Qd1), (A2, U2, V2, c2, eta2, Qd2), nb2
+    )
+    eta_p, J_p = _suffix_pj(comp, nb2, em=True)
+    L2 = A1.shape[-2]
+    last = lambda x: x[(Ellipsis, slice(L2 - 1, L2), slice(None))]
+    head = lambda x: x[(Ellipsis, slice(0, L2 - 1), slice(None))]
+    tail = lambda x: x[(Ellipsis, slice(1, None), slice(None))]
+    eta_last = last(eta2)  # terminal element: eta = -q_N
+    J_last = jnp.zeros((n, n) + eta_last.shape[1:], A.dtype).at[
+        (jnp.arange(n), jnp.arange(n))
+    ].set(last(Qd2))
+    if L2 > 1:
+        eta_o, J_o = _combine_reduced_leaf(
+            (head(A2), head(U2), head(V2), head(c2), head(eta2), head(Qd2)),
+            (tail(eta_p), tail(J_p)),
+            nb2,
+        )
+        eta_odd = _cat([eta_o, eta_last], em=True)
+        J_odd = _cat([J_o, J_last], em=True)
+    else:
+        eta_odd, J_odd = eta_last, J_last
+    return _interleave(eta_p, eta_odd, em=True), _interleave(J_p, J_odd, em=True)
+
+
 def _value_scan_em(pem, nb2: int):
     """Element-major leaf construction + suffix scan: the counterpart of
     :func:`_value_scan` on ``[p, q, N, B]`` slabs (block dims leading, the
     (knot x batch) plane minor — dense (8, 128) tiles at any block size;
     see rslqr_em's layout rationale). ``pem`` is the dict of element-major
-    problem arrays. Returns ``(P [n, n, N, B], p [n, N, B])``."""
+    problem arrays. Returns ``(P [n, n, N, B], p [n, N, B])``.
+
+    The first scan level runs on STRUCTURED leaves (rank-m ``C``, diagonal
+    ``J`` — :func:`_suffix_pj_leaf_em`), so the leaf ``C``/``J`` slabs of
+    the generic path are never materialized.
+    """
     A, B = pem["A"], pem["B"]
     n = A.shape[0]
+    m = B.shape[1]
     N, Bb = A.shape[2], A.shape[3]
     dtype = A.dtype
 
@@ -408,10 +530,29 @@ def _value_scan_em(pem, nb2: int):
     Bt = jnp.swapaxes(B, 0, 1)
 
     S = lambda x, sl: x[(Ellipsis, sl, slice(None))]
-    F = S(A, slice(0, N - 1))
-    c = S(pem["f"], slice(0, N - 1)) - la.bgemv(
+    c_dyn = S(pem["f"], slice(0, N - 1)) - la.bgemv(
         S(Brinv, slice(0, N - 1)), S(pem["r"], slice(0, N - 1)), nb2
     )
+    if N >= 4 and N % 2 == 0:
+        # Leaf arrays over all N slots; the terminal slot's zeroed dynamics
+        # make it the pure-cost element (F = c = C = 0, J = diag(Q_N)).
+        zc = jnp.zeros((n, n, 1, Bb), dtype)
+        zcm = jnp.zeros((n, m, 1, Bb), dtype)
+        leaf = (
+            _cat([S(A, slice(0, N - 1)), zc], em=True),
+            _cat([S(Brinv, slice(0, N - 1)), zcm], em=True),
+            _cat(
+                [S(Bt, slice(0, N - 1)), jnp.swapaxes(zcm, 0, 1)], em=True
+            ),
+            _cat([c_dyn, jnp.zeros((n, 1, Bb), dtype)], em=True),
+            -pem["q"],
+            pem["Qdiag"],
+        )
+        eta_all, J_all = _suffix_pj_leaf_em(leaf, nb2)
+        return J_all, -eta_all
+
+    F = S(A, slice(0, N - 1))
+    c = c_dyn
     C = S(la.bgemm(Brinv, Bt, nb2), slice(0, N - 1))
     eta = -S(pem["q"], slice(0, N - 1))
     diag = (jnp.arange(n), jnp.arange(n))

@@ -474,6 +474,115 @@ def _schur_pallas(A, B_dyn, level, depth, Fls, Fxs, Fus, fsols, n, m, interpret)
     return S_next
 
 
+def _pair_prepass(A, B, level, depth, Fls, Fxs, Fus, fsols1, nb):
+    """Compact pre-pass for the level-paired kernel: the level-(L+1) inner
+    products ``S_{L+1}`` (ndlqr_FactorInnerProduct, nested_dissection.c:
+    114-134) computed from the PRE-update slabs plus this level's solved
+    separators — only the level-(L+1) separator rows (2 / 2^{L+2} of each
+    slab) are gathered, so the full level-(L+1) slab pass disappears.
+
+    Row algebra: with ``r2 = g*span2 + span1 - 1`` (the L+1 separator) and
+    ``r2 + 1``, the level-L update changes only the x/u rows there (both
+    rows are range starts or mid-range knots where the lambda update is
+    masked and no separator overwrite lands — see keep/sep masks in
+    ops/schur_pallas._update_kernel), so the post-L values are
+    ``Fx' = Fx - FxL @ fsol1[even/odd group]`` etc.
+    """
+    span1 = 1 << (level + 1)
+    span2 = 2 * span1
+    nk = nb + 1
+    sel2 = lambda x, pos: _sel(_gk(x, span2, nb), pos, nb)
+    A_sep2 = sel2(A, span1 - 1)
+    B_sep2 = sel2(B, span1 - 1)
+    FxL_r2 = sel2(Fxs[level], span1 - 1)
+    FuL_r2 = sel2(Fus[level], span1 - 1)
+    FxL_r2p = sel2(Fxs[level], span1)
+    Ss = []
+    for u in range(level + 1, depth):
+        f = fsols1[u]  # [n, n, G1, *b]
+        f_e = _sel(_gk(f, 2, nb), 0, nb)  # even level-L groups (row r2)
+        f_o = _sel(_gk(f, 2, nb), 1, nb)  # odd groups (row r2 + 1)
+        Fx_r2 = sel2(Fxs[u], span1 - 1) - la.bgemm(FxL_r2, f_e, nk)
+        Fu_r2 = sel2(Fus[u], span1 - 1) - la.bgemm(FuL_r2, f_e, nk)
+        Fx_r2p = sel2(Fxs[u], span1) - la.bgemm(FxL_r2p, f_o, nk)
+        Fl_r2p = sel2(Fls[u], span1)
+        Ss.append(
+            la.bgemm(A_sep2, Fx_r2, nk)
+            + la.bgemm(B_sep2, Fu_r2, nk)
+            - Fx_r2p
+            - Fl_r2p
+        )
+    return Ss
+
+
+def _schur_pallas_pair(
+    A, B_dyn, level, depth, Fls, Fxs, Fus, fsols1, Sbar2, fsols2, n, m,
+    interpret,
+):
+    """Run the two-level fused Schur kernel (schur_update_pair_em) covering
+    levels ``level`` and ``level + 1`` in one slab pass; mutates the slab
+    lists, returns the level-(L+2) products list (or None)."""
+    from .ops.schur_pallas import _tiles_pair, schur_update_pair_em
+
+    N, B = Fls[level].shape[2], Fls[level].shape[3]
+    nn, mn = n * n, m * n
+    us = list(range(level + 1, depth))
+    _, _, _, _, gd3, _ = _tiles_pair(
+        level, N, B, Fls[0].dtype, 128, 2 * nn + mn, len(us)
+    )
+    Asep = Bsep = None
+    if gd3 > 0 and level + 2 <= depth - 1:
+        Asep = _sep_gm(A, level + 2)
+        Bsep = _sep_gm(B_dyn, level + 2)
+    gm = lambda x: jnp.moveaxis(x.reshape(nn, -1, B), 0, 1)
+    ol, ox, ou, S_next = schur_update_pair_em(
+        Fls[level].reshape(nn, N, B),
+        Fxs[level].reshape(nn, N, B),
+        Fus[level].reshape(mn, N, B),
+        [Fls[u].reshape(nn, N, B) for u in us],
+        [Fxs[u].reshape(nn, N, B) for u in us],
+        [Fus[u].reshape(mn, N, B) for u in us],
+        [gm(fsols1[u]) for u in us],
+        gm(Sbar2),
+        [gm(fsols2[u]) for u in us[1:]],
+        Asep,
+        Bsep,
+        level=level,
+        n=n,
+        m=m,
+        interpret=interpret,
+    )
+    for i, u in enumerate(us):
+        Fls[u] = ol[i].reshape(n, n, N, B)
+        Fxs[u] = ox[i].reshape(n, n, N, B)
+        Fus[u] = ou[i].reshape(m, n, N, B)
+    return S_next
+
+
+def _sweep_pair_em(
+    A, B, level, depth, Fls, Fxs, Fus, n, m, nb, ex, options, mode
+):
+    """TWO levels of the factorization sweep (ref solve.c:68-134, two
+    iterations) with a single slab read+write: compact XLA stages for both
+    levels' Cholesky factors and separator solves, then the fused pair
+    kernel. Returns ``(Lc1, Lc2, ex_next)``."""
+    Ss = _level_products_em(A, B, level, depth, Fls, Fxs, Fus, nb, ex, n)
+    Lc1 = la.bcholesky(Ss[0], nb + 1)
+    if ex is None:
+        _level_writeback_em(Fls, level, Ss[0], nb)
+    fsols1 = _level_cholsolve_em(Lc1, Ss, level, nb)
+    S2 = _pair_prepass(A, B, level, depth, Fls, Fxs, Fus, fsols1, nb)
+    Lc2 = la.bcholesky(S2[0], nb + 1)
+    fsols2 = {
+        level + 2 + i: la.bcho_solve(Lc2, S, nb + 1)
+        for i, S in enumerate(S2[1:])
+    }
+    ex_next = _schur_pallas_pair(
+        A, B, level, depth, Fls, Fxs, Fus, fsols1, S2[0], fsols2, n, m, mode
+    )
+    return Lc1, Lc2, ex_next
+
+
 def _rhs_level_em(A, B, level, Fl, Fx, Fu, Lc, zy, zx, zu, nb, options=None):
     """One level of the RHS sweep (ref solve.c:137-182), element-major.
 
@@ -684,11 +793,24 @@ def _factorize_em_impl(
         chols = []
         ex = None
         start_level = 0
-    for level in range(start_level, t.depth):
-        Lc, ex = _sweep_level_em(
-            A, B, level, t.depth, Fls, Fxs, Fus, n, m, nb, ex, opts
-        )
-        chols.append(Lc)
+    level = start_level
+    while level < t.depth:
+        # Level pairing: two sweep levels per slab pass (the single biggest
+        # HBM saving after the fused leaf — see _sweep_pair_em). Applicable
+        # whenever the pair kernel runs and level+1 still has upper levels
+        # to update.
+        if mode is not None and level <= t.depth - 3:
+            Lc1, Lc2, ex = _sweep_pair_em(
+                A, B, level, t.depth, Fls, Fxs, Fus, n, m, nb, ex, opts, mode
+            )
+            chols.extend([Lc1, Lc2])
+            level += 2
+        else:
+            Lc, ex = _sweep_level_em(
+                A, B, level, t.depth, Fls, Fxs, Fus, n, m, nb, ex, opts
+            )
+            chols.append(Lc)
+            level += 1
     fact = EmFactorization(
         Fls=tuple(Fls), Fxs=tuple(Fxs), Fus=tuple(Fus), chols=tuple(chols),
         nbatch=nb,
