@@ -221,60 +221,35 @@ def schur_update_planes(
 # ---------------------------------------------------------------------------
 
 
-def _row_pick(v, j, n):
-    """Select row ``j`` (traced) of a [n, t1, t2] value -> [t1, t2]."""
-    ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
-    return jnp.sum(jnp.where(ids == j, v, 0.0), axis=0)
-
-
 def _chol_kernel(a_ref, o_ref, *, n):
-    """Left-looking Cholesky over columns; L accumulates in the output
-    block (upper entries stay zero, so the k-sums need no masking)."""
+    """Left-looking Cholesky, statically unrolled with exact triangular
+    slices. The earlier fori-loop formulation paid full-length masked
+    k-sums plus an O(n) masked row-pick per element access — measured
+    0.39 TF/s vs 2.5 for the gemm kernel at n=36; exact slicing removes
+    the ~3x wasted vector ops."""
     o_ref[:] = jnp.zeros_like(o_ref)
-    ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
-
-    def col(j, _):
-        acc = a_ref[:, j]  # [n, t1, t2]
-        for k in range(n):
-            acc = acc - o_ref[:, k] * _row_pick(o_ref[:, k], j, n)[None]
-        dj = _row_pick(acc, j, n)
-        rinv = jax.lax.rsqrt(dj)
-        o_ref[:, j] = jnp.where(ids >= j, acc * rinv[None], 0.0)
-        return 0
-
-    jax.lax.fori_loop(0, n, col, 0)
+    for j in range(n):
+        acc = a_ref[j:, j]  # [n - j, t1, t2] column tail
+        for k in range(j):
+            acc = acc - o_ref[j:, k] * o_ref[j, k][None]
+        rinv = jax.lax.rsqrt(acc[0])
+        o_ref[j:, j] = acc * rinv[None]  # row j: d * rsqrt(d) = sqrt(d)
 
 
 def _cho_solve_kernel(l_ref, b_ref, o_ref, *, n, w):
     """Solve (L L') X = B: forward then back substitution, X in-place in
-    the output block (aliased onto B)."""
+    the output block (aliased onto B); statically unrolled exact loops."""
     o_ref[:] = b_ref[:]
-
-    def fwd(i, _):
-        li = l_ref[i]  # row i of L: [n, t1, t2]
+    for i in range(n):
         acc = o_ref[i]  # [w, t1, t2]
-        for k in range(n):
-            # L[i, k] is zero for k > i; exclude the diagonal k == i.
-            t = li[k][None] * o_ref[k]
-            acc = acc - jnp.where(k < i, t, 0.0)
-        dinv = pl.reciprocal(_row_pick(li, i, n), approx=False)
-        o_ref[i] = acc * dinv[None]
-        return 0
-
-    jax.lax.fori_loop(0, n, fwd, 0)
-
-    def bwd(s, _):
-        i = n - 1 - s
-        ci = l_ref[:, i]  # column i of L = row i of L': [n, t1, t2]
+        for k in range(i):
+            acc = acc - l_ref[i, k][None] * o_ref[k]
+        o_ref[i] = acc * pl.reciprocal(l_ref[i, i], approx=False)[None]
+    for i in reversed(range(n)):
         acc = o_ref[i]
-        for k in range(n):
-            t = ci[k][None] * o_ref[k]
-            acc = acc - jnp.where(k > i, t, 0.0)
-        dinv = pl.reciprocal(_row_pick(ci, i, n), approx=False)
-        o_ref[i] = acc * dinv[None]
-        return 0
-
-    jax.lax.fori_loop(0, n, bwd, 0)
+        for k in range(i + 1, n):
+            acc = acc - l_ref[k, i][None] * o_ref[k]  # (L')[i, k] = L[k, i]
+        o_ref[i] = acc * pl.reciprocal(l_ref[i, i], approx=False)[None]
 
 
 def _lu_solve_kernel(*refs, n, nrhs):
@@ -284,55 +259,36 @@ def _lu_solve_kernel(*refs, n, nrhs):
     No pivoting: intended for well-conditioned blocks like the parallel
     scan combine's ``I + C J`` (eigenvalues >= 1; see linalg.blu_factor).
     Multiple RHS operands let the combine skip the stacked-RHS concat and
-    slice-back copies entirely.
+    slice-back copies entirely. Statically unrolled with exact triangular
+    slices (the masked fori version measured 1.1 TF/s; see _chol_kernel).
     """
     a_ref = refs[0]
     b_refs = refs[1 : 1 + nrhs]
     o_refs = refs[1 + nrhs : 1 + 2 * nrhs]
     lu_ref = refs[-1]
     lu_ref[:] = a_ref[:]
-    ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
-
-    def step(k, _):
-        col_k = lu_ref[:, k]  # [n, t1, t2]
-        inv = pl.reciprocal(_row_pick(col_k, k, n), approx=False)
-        factors = jnp.where(ids > k, col_k * inv[None], 0.0)
-        row_k = lu_ref[k]  # [n, t1, t2] (row k = U row k on cols >= k)
-        masked_row = jnp.where(ids > k, row_k, 0.0)  # strictly right of k
-        lu_ref[:] = lu_ref[:] - factors[:, None] * masked_row[None, :]
-        # Column k rows > k hold L's multipliers. (Read back through the
-        # ref: dynamic slices of register values don't lower on TPU.)
-        lu_ref[:, k] = jnp.where(ids > k, factors, lu_ref[:, k])
-        return 0
-
-    jax.lax.fori_loop(0, n, step, 0)
+    for k in range(n):
+        inv = pl.reciprocal(lu_ref[k, k], approx=False)  # [t1, t2]
+        if k + 1 < n:
+            factors = lu_ref[k + 1 :, k] * inv[None]  # [n-k-1, t1, t2]
+            lu_ref[k + 1 :, k] = factors
+            row = lu_ref[k, k + 1 :]
+            lu_ref[k + 1 :, k + 1 :] = (
+                lu_ref[k + 1 :, k + 1 :] - factors[:, None] * row[None, :]
+            )
 
     for b_ref, o_ref in zip(b_refs, o_refs):
         o_ref[:] = b_ref[:]
-
-        def fwd(i, _, o_ref=o_ref):  # unit-lower forward substitution
-            li = lu_ref[i]
+        for i in range(1, n):  # unit-lower forward substitution
             acc = o_ref[i]
-            for k in range(n):
-                t = li[k][None] * o_ref[k]
-                acc = acc - jnp.where(k < i, t, 0.0)
+            for k in range(i):
+                acc = acc - lu_ref[i, k][None] * o_ref[k]
             o_ref[i] = acc
-            return 0
-
-        jax.lax.fori_loop(0, n, fwd, 0)
-
-        def bwd(s, _, o_ref=o_ref):  # U back substitution
-            i = n - 1 - s
-            ui = lu_ref[i]
+        for i in reversed(range(n)):  # U back substitution
             acc = o_ref[i]
-            for k in range(n):
-                t = ui[k][None] * o_ref[k]
-                acc = acc - jnp.where(k > i, t, 0.0)
-            dinv = pl.reciprocal(_row_pick(ui, i, n), approx=False)
-            o_ref[i] = acc * dinv[None]
-            return 0
-
-        jax.lax.fori_loop(0, n, bwd, 0)
+            for k in range(i + 1, n):
+                acc = acc - lu_ref[i, k][None] * o_ref[k]
+            o_ref[i] = acc * pl.reciprocal(lu_ref[i, i], approx=False)[None]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "t1"))
