@@ -15,11 +15,12 @@ solves, robust statistic), with two TPU-specific corrections:
    return before execution completes (silently inflates throughput ~1000x).
 2. The host round trip on this tunnel costs ~25 ms — more than the solve
    itself — so each timed program runs K data-dependent chained solves
-   inside one ``lax.fori_loop`` (iteration i's x0 is nudged by a denormal
-   function of iteration i-1's output, enforcing sequential execution
-   without changing the numerics), and the per-solve time is the finite
-   difference (t(K2) - t(K1)) / (K2 - K1). This measures steady-state
-   device throughput, which is what batched production serving sees.
+   inside one ``lax.fori_loop`` (iteration i's Qdiag is nudged by a
+   denormal function of iteration i-1's output: Qdiag feeds EVERY stage,
+   so XLA cannot hoist loop-invariant solver work — see _chained), and
+   the per-solve time is the finite difference (t(K2) - t(K1)) / (K2 - K1).
+   This measures steady-state device throughput, which is what batched
+   production serving sees.
 
 One run covers every headline family: pscan/rslqr/refine on the N=256
 nx=6 config plus rslqr/pscan on the quadruped (N=512, nx=36) config, all
@@ -113,15 +114,24 @@ def _chunked(kkt_fn, chunk):
 
 
 def _chained(kkt_fn, K):
-    """Jitted runner of K sequentially-dependent solves (see module doc)."""
+    """Jitted runner of K sequentially-dependent solves (see module doc).
+
+    The dependence is injected through ``Qdiag`` (NOT x0): every stage of
+    every solver family reads Qdiag, so nothing is loop-invariant. An
+    earlier x0-only injection let XLA hoist the x0-independent work out of
+    the chain — the whole backward value scan for the pscan family
+    (measured 2.0x inflation at N=256: 298.6k vs the honest 150.3k
+    solves/s) and in principle the entire rsLQR factorization (measured
+    unaffected there: 13.77 vs 13.74 ms). Probe: probe_hoist.py.
+    """
 
     def run(b):
         def body(i, carry):
             eps, acc = carry
-            p2 = dataclasses.replace(b, x0=b.x0 + eps)
+            p2 = dataclasses.replace(b, Qdiag=b.Qdiag + eps)
             s = jnp.sum(kkt_fn(p2))
             # ~1e-38 * O(1e3) is denormal noise: forces the data dependence
-            # without perturbing x0 at float32 resolution.
+            # without perturbing Qdiag at float32 resolution.
             return (s * jnp.asarray(1e-38, s.dtype), acc + s)
 
         zero = jnp.asarray(0.0, b.x0.dtype)
@@ -386,14 +396,15 @@ def main():
             qchunk = int(os.environ.get("BENCH_QUAD_CHUNK", "128"))
             log(f"[bench] {name}_quadruped chunk={qchunk}")
             fn = _chunked(SOLVERS[name], qchunk)
-            # K=1 only: these programs run seconds per batched solve, so
-            # the chained mean is exact and no long chain needs compiling
-            # (a K=9 chain of the scan config previously ran ~100 s and
-            # crashed the tunnel worker).
+            # K=3 finite-diff chains: the configs now run 0.2-0.7 s per
+            # batched solve (round 3: 3-7 s, when a long chain crashed the
+            # tunnel worker and K=1 chained means — which carry the
+            # ~25-80 ms per-dispatch tunnel overhead in every sample —
+            # were the only option).
             try:
                 results[f"{name}_quadruped"] = time_solver(
                     f"{name}_quadruped", fn, qbatch, qb,
-                    min(reps, 3), k2_default=1,
+                    min(reps, 3), k2_default=3,
                 )
             except Exception as e:  # keep the artifact if one family dies
                 log(f"[bench] {name}_quadruped FAILED: {e}")

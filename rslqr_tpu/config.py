@@ -136,6 +136,9 @@ class SolveOptions:
     pallas: str = "auto"
     factor_dtype: str = ""
     mxu_block_threshold: int = 8
+    # Two sweep levels per slab pass in the kernel path (rslqr_em
+    # _sweep_pair_em); False = one level per pass (A/B + fallback knob).
+    level_pairing: bool = True
 
     def __post_init__(self):
         if self.layout not in _LAYOUTS:

@@ -513,7 +513,6 @@ def _pair_kernel(
     FLx = lambda e: flx[e]
     FLu = lambda e: flu[e]
 
-    mult2 = None
     for uu in range(U):
         # ---- update 1 (level L) ----
         fs = f1s[uu]
@@ -530,19 +529,21 @@ def _pair_kernel(
         if uu == 0:
             # u == L+1: fold its Sbar (pre-pass S2[0]) into the lambda slab
             # at sep2+1 rows (solve.c:92-97 placement), then these planes
-            # ARE the level-(L+1) multiplier.
+            # ARE the level-(L+1) multiplier — re-read below from the
+            # already-written output block rather than held live across
+            # every u iteration (holding ~90 extra planes in registers
+            # spilled and halved the kernel's HBM stream: measured
+            # 313 GB/s vs the single kernel's ~700).
             vl = _fold_rows(vl, sbar2, gd2b, span, tk, knots)
-            mult2 = (vl, vx, vu)
         else:
             # ---- update 2 (level L+1) ----
             fs2 = f2s[uu - 1]
             fpl2 = [
                 _group_broadcast(fs2, e, gd2b, rpg2, tb) for e in range(nn)
             ]
-            m2l, m2x, m2u = mult2
-            u2l = _mm_planes(lambda e: m2l[e], fpl2, n, n)
-            u2x = _mm_planes(lambda e: m2x[e], fpl2, n, n)
-            u2u = _mm_planes(lambda e: m2u[e], fpl2, m, n)
+            u2l = _mm_planes(lambda e: ols[0][e], fpl2, n, n)
+            u2x = _mm_planes(lambda e: oxs[0][e], fpl2, n, n)
+            u2u = _mm_planes(lambda e: ous[0][e], fpl2, m, n)
             vl = [
                 jnp.where(
                     sep2, fpl2[e], vl[e] - jnp.where(keep2, u2l[e], 0.0)

@@ -799,7 +799,7 @@ def _factorize_em_impl(
         # HBM saving after the fused leaf — see _sweep_pair_em). Applicable
         # whenever the pair kernel runs and level+1 still has upper levels
         # to update.
-        if mode is not None and level <= t.depth - 3:
+        if mode is not None and level <= t.depth - 3 and opts.level_pairing:
             Lc1, Lc2, ex = _sweep_pair_em(
                 A, B, level, t.depth, Fls, Fxs, Fus, n, m, nb, ex, opts, mode
             )
