@@ -139,6 +139,15 @@ class SolveOptions:
     # Two sweep levels per slab pass in the kernel path (rslqr_em
     # _sweep_pair_em); False = one level per pass (A/B + fallback knob).
     level_pairing: bool = True
+    # Chunked hybrid value scan for the mid-block pscan family: serial
+    # Woodbury leaf folds build one composite per ``s``-knot chunk (unit
+    # slices on a pre-relayouted ``[s, ...]`` leaf slab — no strided
+    # even/odd split or interleave glue), the generic suffix tree runs
+    # over only N/s composites, and the interior cost-to-gos come from a
+    # serial within-chunk Woodbury-Riccati down-sweep. 0 = auto (pick 8
+    # when the horizon allows), 1 = force the unchunked leaf-pair scan,
+    # >= 2 = explicit chunk size (must divide the horizon).
+    pscan_chunk: int = 0
 
     def __post_init__(self):
         if self.layout not in _LAYOUTS:

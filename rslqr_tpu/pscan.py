@@ -470,6 +470,49 @@ def _combine_reduced_leaf(l1, pj2, nb: int):
     return eta, J
 
 
+def _combine_leaf_full(l1, e2, nb: int):
+    """Full combine with a LEAF left element and a generic right element:
+    the rank-m Woodbury route of :func:`_combine` (``C1 = U1 V1`` has rank
+    m, so the n-by-n ``(I + C1 J2)`` solve collapses to an m-by-m solve and
+    ``M1 C1 = U1 Sm^{-1} V1`` never materializes ``C1``). This is the serial
+    chunk-composite fold step of the chunked hybrid scan: ~3 n^3 gemms +
+    O(n^2 m) against the generic combine's ~8 n^3."""
+    A1, U1, V1, c1, eta1, Qd1 = l1
+    F2, c2, C2, eta2, J2 = e2
+    n, m = A1.shape[0], U1.shape[1]
+    dg_m = (jnp.arange(m), jnp.arange(m))
+    dg_n = (jnp.arange(n), jnp.arange(n))
+
+    T = la.bgemm_tt(V1, J2, nb)  # B1' J2 [m, n]
+    Sm = la.bgemm_tt(T, U1, nb).at[dg_m].add(1.0)
+    eyeP = jnp.zeros(Sm.shape, Sm.dtype).at[dg_m].set(1.0)
+    (G_I,) = la.bsolve_multi(Sm, (eyeP,), nb)
+    M1U = la.bgemm_tt(U1, G_I, nb)  # U Sm^{-1} [n, m]
+    TA1 = la.bgemm_tt(T, A1, nb)  # [m, n]
+    MF1 = A1 - la.bgemm_tt(M1U, TA1, nb)  # M1 A1
+
+    F = la.bgemm_tt(F2, MF1, nb)
+    # C = F2 (M1 C1) F2' + C2 with M1 C1 = M1U V1 (rank m).
+    W = la.bgemm_tt(F2, M1U, nb)  # [n, m]
+    Vt = la.bgemm_tt(V1, F2, nb, tbt=True)  # V1 F2' [m, n]
+    C = la.bgemm_tt(W, Vt, nb, cin=C2, sub=False)
+    # J = F1' (J2 M1 F1) + J1, J1 = diag(Qd1).
+    J2MF1 = la.bgemm_tt(J2, MF1, nb)
+    J = la.bgemm_tt(A1, J2MF1, nb, ta=True).at[dg_n].add(Qd1)
+
+    b_c = c1 + la.bgemv(U1, la.bgemv(V1, eta2, nb), nb)
+    c = (
+        la.bgemv(F2, b_c - la.bgemv(M1U, la.bgemv(T, b_c, nb), nb), nb) + c2
+    )
+    w = eta2 - la.bgemv(J2, c1, nb)
+    MCw = la.bgemv(M1U, la.bgemv(V1, w, nb), nb)  # M1 C1 w
+    eta = (
+        la.bgemv(la.transpose_block(A1, nb), w - la.bgemv(J2, MCw, nb), nb)
+        + eta1
+    )
+    return (F, c, C, eta, J)
+
+
 def _suffix_pj_leaf_em(leaf, nb2: int):
     """First suffix-scan level on structured leaves (element-major): pair
     combines via :func:`_combine_leaf_pair`, generic :func:`_suffix_pj` over
@@ -508,7 +551,111 @@ def _suffix_pj_leaf_em(leaf, nb2: int):
     return _interleave(eta_p, eta_odd, em=True), _interleave(J_p, J_odd, em=True)
 
 
-def _value_scan_em(pem, nb2: int):
+def _leaf_em(pem, nb2: int):
+    """Element-major structured leaf arrays ``(A, Brinv, Bt, c, eta, Qd)``
+    over all N slots; the terminal slot's zeroed dynamics make it the
+    pure-cost element (F = c = C = 0, J = diag(Q_N)). Requires N even."""
+    A, B = pem["A"], pem["B"]
+    n, m = A.shape[0], B.shape[1]
+    N, Bb = A.shape[2], A.shape[3]
+    dtype = A.dtype
+
+    rinv = 1.0 / pem["Rdiag"]  # [m, N, B]
+    Brinv = B * rinv[None]
+    Bt = jnp.swapaxes(B, 0, 1)
+    S = lambda x, sl: x[(Ellipsis, sl, slice(None))]
+    c_dyn = S(pem["f"], slice(0, N - 1)) - la.bgemv(
+        S(Brinv, slice(0, N - 1)), S(pem["r"], slice(0, N - 1)), nb2
+    )
+    zc = jnp.zeros((n, n, 1, Bb), dtype)
+    zcm = jnp.zeros((n, m, 1, Bb), dtype)
+    return (
+        _cat([S(A, slice(0, N - 1)), zc], em=True),
+        _cat([S(Brinv, slice(0, N - 1)), zcm], em=True),
+        _cat([S(Bt, slice(0, N - 1)), jnp.swapaxes(zcm, 0, 1)], em=True),
+        _cat([c_dyn, jnp.zeros((n, 1, Bb), dtype)], em=True),
+        -pem["q"],
+        pem["Qdiag"],
+    )
+
+
+def _value_scan_chunked_em(pem, nb2: int, s: int):
+    """Chunked hybrid suffix scan (element-major): serial Woodbury leaf
+    folds build one full composite per ``s``-knot chunk, the generic
+    odd-even tree reduces only the N/s composites, and the interior
+    cost-to-gos come from ``s - 1`` serial within-chunk Woodbury-Riccati
+    steps (:func:`_combine_reduced_leaf`) seeded by the next chunk's
+    boundary suffix.
+
+    The win over :func:`_suffix_pj_leaf_em` is mostly GLUE, not FLOPs: the
+    leaves are relayouted ONCE to ``[s, p, q, C, B]`` (fused by XLA into
+    the element-major transpose that builds them), after which every
+    serial step slices a contiguous ``[p, q, C, B]`` slab — no strided
+    even/odd splits or interleave scatters feeding the Pallas kernels,
+    and the log-depth part of the scan touches arrays ``s`` times smaller.
+    """
+    leaf = _leaf_em(pem, nb2)
+    N = leaf[0].shape[-2]
+    C = N // s
+
+    def chunkify(x):
+        # [.., N, B] -> [s, .., C, B]: one relayout, fused upstream.
+        y = x.reshape(x.shape[:-2] + (C, s, x.shape[-1]))
+        return jnp.moveaxis(y, -2, 0)
+
+    lc = tuple(chunkify(x) for x in leaf)
+    lj = lambda j: tuple(x[j] for x in lc)
+
+    comp = _combine_leaf_pair(lj(s - 2), lj(s - 1), nb2)
+    for j in range(s - 3, -1, -1):
+        comp = _combine_leaf_full(lj(j), comp, nb2)
+
+    eta_s, J_s = _suffix_pj(comp, nb2, em=True)  # suffix at chunk starts
+    # Interior seeds: the NEXT chunk's boundary suffix; zeros for the last
+    # chunk (annihilated by the terminal leaf's zeroed dynamics).
+    shift = lambda x: _cat(
+        [
+            x[(Ellipsis, slice(1, None), slice(None))],
+            jnp.zeros_like(x[(Ellipsis, slice(0, 1), slice(None))]),
+        ],
+        em=True,
+    )
+    eta_v, J_v = shift(eta_s), shift(J_s)
+    etas, Js = [None] * s, [None] * s
+    etas[0], Js[0] = eta_s, J_s
+    for j in range(s - 1, 0, -1):
+        eta_v, J_v = _combine_reduced_leaf(lj(j), (eta_v, J_v), nb2)
+        etas[j], Js[j] = eta_v, J_v
+
+    def unchunk(xs):
+        # s x [.., C, B] -> [.., N, B] (inverse of chunkify).
+        y = jnp.moveaxis(jnp.stack(xs, axis=0), 0, -2)
+        return y.reshape(y.shape[:-3] + (N, y.shape[-1]))
+
+    return unchunk(Js), -unchunk(etas)
+
+
+def _auto_chunk(N: int, chunk: int) -> int:
+    """Resolve the pscan_chunk option: 0 = auto (8 when the horizon
+    allows), 1 = unchunked, >= 2 = explicit (must divide N with >= 2
+    chunks)."""
+    if chunk == 0:
+        # Measured on chip at the quadruped config (probe_chunk_ab.py,
+        # N=512 nx=36 nu=12 B=128): s=16 > s=8 > s=4 > unchunked
+        # (2405 / 2315 / 2033 / 1351 solves/s full-B equivalent).
+        for s in (16, 8, 4):
+            if N % s == 0 and N >= 64:
+                return s
+        return 1
+    if chunk >= 2 and (N % chunk != 0 or N // chunk < 2):
+        raise ValueError(
+            f"pscan_chunk={chunk} must divide the horizon N={N} with at "
+            "least two chunks"
+        )
+    return chunk
+
+
+def _value_scan_em(pem, nb2: int, chunk: int = 0):
     """Element-major leaf construction + suffix scan: the counterpart of
     :func:`_value_scan` on ``[p, q, N, B]`` slabs (block dims leading, the
     (knot x batch) plane minor — dense (8, 128) tiles at any block size;
@@ -534,21 +681,10 @@ def _value_scan_em(pem, nb2: int):
         S(Brinv, slice(0, N - 1)), S(pem["r"], slice(0, N - 1)), nb2
     )
     if N >= 4 and N % 2 == 0:
-        # Leaf arrays over all N slots; the terminal slot's zeroed dynamics
-        # make it the pure-cost element (F = c = C = 0, J = diag(Q_N)).
-        zc = jnp.zeros((n, n, 1, Bb), dtype)
-        zcm = jnp.zeros((n, m, 1, Bb), dtype)
-        leaf = (
-            _cat([S(A, slice(0, N - 1)), zc], em=True),
-            _cat([S(Brinv, slice(0, N - 1)), zcm], em=True),
-            _cat(
-                [S(Bt, slice(0, N - 1)), jnp.swapaxes(zcm, 0, 1)], em=True
-            ),
-            _cat([c_dyn, jnp.zeros((n, 1, Bb), dtype)], em=True),
-            -pem["q"],
-            pem["Qdiag"],
-        )
-        eta_all, J_all = _suffix_pj_leaf_em(leaf, nb2)
+        s = _auto_chunk(N, chunk)
+        if s >= 2:
+            return _value_scan_chunked_em(pem, nb2, s)
+        eta_all, J_all = _suffix_pj_leaf_em(_leaf_em(pem, nb2), nb2)
         return J_all, -eta_all
 
     F = S(A, slice(0, N - 1))
@@ -609,7 +745,55 @@ def _prefix_action_em(Phi, tvec, x0, nb2: int) -> jax.Array:
     return _interleave(a_even, a_pair, em=True)
 
 
-def _solve_pscan_em(prob: LQRProblem, nb: int) -> RiccatiSolution:
+def _prefix_action_chunked_em(Phi, tvec, x0, nb2: int, s: int) -> jax.Array:
+    """Chunked twin of :func:`_prefix_action_em`: serial within-chunk map
+    composition (one gemm per step) builds one affine composite per
+    ``s``-step chunk, the odd-even prefix runs over only L/s composites,
+    and interior states follow by ``s`` serial gemv steps from each
+    chunk-start state. Same glue rationale as the chunked value scan:
+    contiguous ``[s, ...]`` slabs replace strided splits/interleaves.
+    Pads with identity maps when ``s`` does not divide ``L``.
+    """
+    L = Phi.shape[-2]
+    pad = (-L) % s
+    if pad:
+        n = Phi.shape[0]
+        eyes = jnp.zeros(
+            (n, n, pad) + Phi.shape[3:], Phi.dtype
+        ).at[(jnp.arange(n), jnp.arange(n))].set(1.0)
+        Phi = _cat([Phi, eyes], em=True)
+        tvec = _cat(
+            [tvec, jnp.zeros((n, pad) + tvec.shape[2:], tvec.dtype)], em=True
+        )
+    Lp = L + pad
+    C = Lp // s
+
+    def chunkify(x):
+        y = x.reshape(x.shape[:-2] + (C, s, x.shape[-1]))
+        return jnp.moveaxis(y, -2, 0)
+
+    Phc, tc = chunkify(Phi), chunkify(tvec)
+    Phi_c, t_c = Phc[0], tc[0]
+    for j in range(1, s):
+        Phi_c = la.bgemm(Phc[j], Phi_c, nb2)
+        t_c = la.bgemv(Phc[j], t_c, nb2) + tc[j]
+    ends = _prefix_action_em(Phi_c, t_c, x0, nb2)  # x_{(k+1)s} [n, C, B]
+    starts = _cat(
+        [x0, ends[(Ellipsis, slice(0, C - 1), slice(None))]], em=True
+    )
+    xs = [None] * s
+    xv = starts
+    for j in range(s):
+        xv = la.bgemv(Phc[j], xv, nb2) + tc[j]
+        xs[j] = xv  # x_{ks+j+1}
+    out = jnp.moveaxis(jnp.stack(xs, axis=0), 0, -2)
+    out = out.reshape(out.shape[:-3] + (Lp, out.shape[-1]))
+    return out[(Ellipsis, slice(0, L), slice(None))]
+
+
+def _solve_pscan_em(
+    prob: LQRProblem, nb: int, chunk: int = 0
+) -> RiccatiSolution:
     """Mid-block production path: the whole scan in element-major layout.
 
     Every element component is a ``[p, q, N, B]`` slab whose (knot x batch)
@@ -642,7 +826,7 @@ def _solve_pscan_em(prob: LQRProblem, nb: int) -> RiccatiSolution:
     N = pem["A"].shape[2]
     S = lambda x, sl: x[(Ellipsis, sl, slice(None))]
 
-    P, p = _value_scan_em(pem, nb2)
+    P, p = _value_scan_em(pem, nb2, chunk)
     K, d = _gains_from(
         S(pem["A"], slice(0, N - 1)),
         S(pem["B"], slice(0, N - 1)),
@@ -661,7 +845,11 @@ def _solve_pscan_em(prob: LQRProblem, nb: int) -> RiccatiSolution:
         pem["f"], slice(0, N - 1)
     )
     x0e = pbl.x0[:, None, :] if nb else pbl.x0[:, None]
-    xs = _prefix_action_em(Phi, tvec, x0e, nb2)
+    s = _auto_chunk(N, chunk) if (N >= 4 and N % 2 == 0) else 1
+    if s >= 2:
+        xs = _prefix_action_chunked_em(Phi, tvec, x0e, nb2, s)
+    else:
+        xs = _prefix_action_em(Phi, tvec, x0e, nb2)
     X = _cat([x0e, xs], em=True)  # [n, N, B]
     U = la.bgemv(K, S(X, slice(0, N - 1)), nb2) + d
     Y = la.bgemv(P, X, nb2) + p
@@ -725,7 +913,7 @@ def _solve_pscan_impl(prob: LQRProblem, opts) -> RiccatiSolution:
             )
         )
         if mid_em:
-            return _solve_pscan_em(prob, nb)
+            return _solve_pscan_em(prob, nb, opts.pscan_chunk)
         if opts.layout == "auto":
             bshape = prob.A.shape[:nb]
             flat = jax.tree.map(

@@ -148,6 +148,35 @@ def test_pscan_midblock_em_parity(mid_batch):
     assert float(jnp.max(jnp.abs(em - ref))) < 1e-11
 
 
+@pytest.mark.parametrize("s", [2, 4, 8])
+def test_pscan_midblock_chunked_parity(mid_batch, s):
+    """Chunked hybrid value scan (serial Woodbury leaf folds + tree over
+    N/s composites + within-chunk down-sweep) == the grid/MXU path."""
+    ref = pscan.solve_pscan_kkt(mid_batch, options=OPTS_REF)
+    opts = SolveOptions(layout="em", pallas="interpret", pscan_chunk=s)
+    em = pscan.solve_pscan_kkt(mid_batch, options=opts)
+    assert float(jnp.max(jnp.abs(em - ref))) < 1e-11
+
+
+def test_pscan_midblock_chunked_odd_chunk_count():
+    """N=24 with s=8 -> 3 chunks: odd peel inside the composite tree."""
+    prob = rt.random_problem(jax.random.PRNGKey(7), 24, 12, 4, jnp.float64)
+    batch = rt.batch_problems(
+        prob, jax.random.split(jax.random.PRNGKey(8), 64)
+    )
+    ref = pscan.solve_pscan_kkt(batch, options=OPTS_REF)
+    opts = SolveOptions(layout="em", pallas="interpret", pscan_chunk=8)
+    em = pscan.solve_pscan_kkt(batch, options=opts)
+    assert float(jnp.max(jnp.abs(em - ref))) < 1e-11
+
+
+def test_pscan_chunk_invalid_raises(mid_batch):
+    """Explicit chunk sizes must divide the horizon with >= 2 chunks."""
+    opts = SolveOptions(layout="em", pallas="interpret", pscan_chunk=5)
+    with pytest.raises(ValueError, match="pscan_chunk"):
+        pscan.solve_pscan_kkt(mid_batch, options=opts)
+
+
 def test_pscan_midblock_em_odd_horizon():
     """N=24 exercises the odd-peeling branches of every em scan helper."""
     prob = rt.random_problem(jax.random.PRNGKey(5), 24, 12, 4, jnp.float64)
