@@ -438,12 +438,25 @@ def _combine_leaf_pair(l1, l2, nb: int):
     return (F, c, C, eta, J)
 
 
-def _combine_reduced_leaf(l1, pj2, nb: int):
+def _combine_reduced_leaf(l1, pj2, nb: int, gains=None):
     """Reduced combine with a LEAF left element: the rank-m Woodbury form
     of :func:`_combine_reduced` (same identity as :func:`_combine_leaf_pair`
     but with a full right cost-to-go ``J2``). This is the whole finest
     level of the suffix scan's down-sweep — mathematically one backward
-    Riccati step per odd knot (riccati_solve.c:38-112)."""
+    Riccati step per odd knot (riccati_solve.c:38-112).
+
+    ``gains``: optional ``(rinv1 [m, *b], r1 [m, *b])``; when given, ALSO
+    returns the Riccati gains ``(K, d)`` of this step, almost for free:
+    the Woodbury intermediates ARE the gain algebra —
+
+      Sm  = I + B' P B R^{-1} = Quu R^{-1}   (so Quu^{-1} = R^{-1} Sm^{-1})
+      TA1 = B' P A            = Qux
+      Qu  = r + B'(P f + p)   = Sm r - B' w  (w = -p - P c1, c1 = f - BR^{-1}r)
+
+    giving ``K = -R^{-1} (Sm^{-1} Qux)`` and
+    ``d = R^{-1} (Sm^{-1} (B' w) - r)`` with no extra factorization, no
+    Quu/Qux gemms, and no sliced read of the assembled P slab
+    (riccati_solve.c:80-93 collapsed into the down-sweep)."""
     A1, U1, V1, c1, eta1, Qd1 = l1
     eta2, J2 = pj2
     m = U1.shape[1]
@@ -462,12 +475,19 @@ def _combine_reduced_leaf(l1, pj2, nb: int):
     J2MF1 = la.bgemm_tt(J2, MF1, nb)
     J = la.bgemm_tt(A1, J2MF1, nb, ta=True).at[dg_n].add(Qd1)
     w = eta2 - la.bgemv(J2, c1, nb)
-    MCw = la.bgemv(M1U, la.bgemv(V1, w, nb), nb)
+    Vw = la.bgemv(V1, w, nb)  # B1' w [m]
+    MCw = la.bgemv(M1U, Vw, nb)
     eta = (
         la.bgemv(la.transpose_block(A1, nb), w - la.bgemv(J2, MCw, nb), nb)
         + eta1
     )
-    return eta, J
+    if gains is None:
+        return eta, J
+    rinv1, r1 = gains
+    ve = jnp.expand_dims(rinv1, -(nb + 1))  # [m, 1, *b] row scale
+    K = -ve * la.bgemm_tt(G_I, TA1, nb)
+    d = rinv1 * (la.bgemv(G_I, Vw, nb) - r1)
+    return eta, J, K, d
 
 
 def _combine_leaf_full(l1, e2, nb: int):
@@ -579,7 +599,7 @@ def _leaf_em(pem, nb2: int):
     )
 
 
-def _value_scan_chunked_em(pem, nb2: int, s: int):
+def _value_scan_chunked_em(pem, nb2: int, s: int, gains: bool = False):
     """Chunked hybrid suffix scan (element-major): serial Woodbury leaf
     folds build one full composite per ``s``-knot chunk, the generic
     odd-even tree reduces only the N/s composites, and the interior
@@ -622,17 +642,38 @@ def _value_scan_chunked_em(pem, nb2: int, s: int):
     )
     eta_v, J_v = shift(eta_s), shift(J_s)
     etas, Js = [None] * s, [None] * s
-    etas[0], Js[0] = eta_s, J_s
-    for j in range(s - 1, 0, -1):
-        eta_v, J_v = _combine_reduced_leaf(lj(j), (eta_v, J_v), nb2)
-        etas[j], Js[j] = eta_v, J_v
 
     def unchunk(xs):
         # s x [.., C, B] -> [.., N, B] (inverse of chunkify).
         y = jnp.moveaxis(jnp.stack(xs, axis=0), 0, -2)
         return y.reshape(y.shape[:-3] + (N, y.shape[-1]))
 
-    return unchunk(Js), -unchunk(etas)
+    if not gains:
+        etas[0], Js[0] = eta_s, J_s
+        for j in range(s - 1, 0, -1):
+            eta_v, J_v = _combine_reduced_leaf(lj(j), (eta_v, J_v), nb2)
+            etas[j], Js[j] = eta_v, J_v
+        return unchunk(Js), -unchunk(etas)
+
+    # Fused gains: run the down-sweep at EVERY in-chunk position (j=0's
+    # value recomputes the scanned chunk-start suffix — C cheap extra
+    # steps) and emit (K, d) from the step's own Woodbury intermediates.
+    rinv_c = chunkify(1.0 / pem["Rdiag"])
+    r_c = chunkify(pem["r"])
+    Ks, ds = [None] * s, [None] * s
+    for j in range(s - 1, -1, -1):
+        eta_j, J_j, K_j, d_j = _combine_reduced_leaf(
+            lj(j), (eta_v, J_v), nb2, gains=(rinv_c[j], r_c[j])
+        )
+        etas[j], Js[j], Ks[j], ds[j] = eta_j, J_j, K_j, d_j
+        eta_v, J_v = eta_j, J_j
+    Sl = lambda x: x[(Ellipsis, slice(0, N - 1), slice(None))]
+    return (
+        unchunk(Js),
+        -unchunk(etas),
+        Sl(unchunk(Ks)),
+        Sl(unchunk(ds)),
+    )
 
 
 def _auto_chunk(N: int, chunk: int) -> int:
@@ -826,18 +867,24 @@ def _solve_pscan_em(
     N = pem["A"].shape[2]
     S = lambda x, sl: x[(Ellipsis, sl, slice(None))]
 
-    P, p = _value_scan_em(pem, nb2, chunk)
-    K, d = _gains_from(
-        S(pem["A"], slice(0, N - 1)),
-        S(pem["B"], slice(0, N - 1)),
-        S(pem["Rdiag"], slice(0, N - 1)),
-        S(pem["r"], slice(0, N - 1)),
-        S(pem["f"], slice(0, N - 1)),
-        S(P, slice(1, N)),
-        S(p, slice(1, N)),
-        nb2,
-        em=True,
-    )
+    s = _auto_chunk(N, chunk) if (N >= 4 and N % 2 == 0) else 1
+    if s >= 2:
+        # Chunked scan with gains fused into its down-sweep (no separate
+        # Quu/Qux gemms, Cholesky, or P[1:]-slab read).
+        P, p, K, d = _value_scan_chunked_em(pem, nb2, s, gains=True)
+    else:
+        P, p = _value_scan_em(pem, nb2, 1)
+        K, d = _gains_from(
+            S(pem["A"], slice(0, N - 1)),
+            S(pem["B"], slice(0, N - 1)),
+            S(pem["Rdiag"], slice(0, N - 1)),
+            S(pem["r"], slice(0, N - 1)),
+            S(pem["f"], slice(0, N - 1)),
+            S(P, slice(1, N)),
+            S(p, slice(1, N)),
+            nb2,
+            em=True,
+        )
     Phi = S(pem["A"], slice(0, N - 1)) + la.bgemm(
         S(pem["B"], slice(0, N - 1)), K, nb2
     )
@@ -845,7 +892,6 @@ def _solve_pscan_em(
         pem["f"], slice(0, N - 1)
     )
     x0e = pbl.x0[:, None, :] if nb else pbl.x0[:, None]
-    s = _auto_chunk(N, chunk) if (N >= 4 and N % 2 == 0) else 1
     if s >= 2:
         xs = _prefix_action_chunked_em(Phi, tvec, x0e, nb2, s)
     else:

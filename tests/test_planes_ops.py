@@ -158,6 +158,18 @@ def test_pscan_midblock_chunked_parity(mid_batch, s):
     assert float(jnp.max(jnp.abs(em - ref))) < 1e-11
 
 
+def test_pscan_midblock_chunked_fused_gains(mid_batch):
+    """The chunked down-sweep emits (K, d) from its own Woodbury
+    intermediates (Sm = Quu R^-1, TA1 = Qux); the full solution pytree —
+    not just the KKT vector — must match the grid path."""
+    sol_g = pscan.solve_pscan(mid_batch, options=OPTS_REF)
+    opts = SolveOptions(layout="em", pallas="interpret", pscan_chunk=4)
+    sol_c = pscan.solve_pscan(mid_batch, options=opts)
+    for f in ("K", "d", "P", "p", "X", "U", "Y"):
+        err = float(jnp.max(jnp.abs(getattr(sol_c, f) - getattr(sol_g, f))))
+        assert err < 1e-10, (f, err)
+
+
 def test_pscan_midblock_chunked_odd_chunk_count():
     """N=24 with s=8 -> 3 chunks: odd peel inside the composite tree."""
     prob = rt.random_problem(jax.random.PRNGKey(7), 24, 12, 4, jnp.float64)
