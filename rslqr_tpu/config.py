@@ -139,6 +139,11 @@ class SolveOptions:
     # Two sweep levels per slab pass in the kernel path (rslqr_em
     # _sweep_pair_em); False = one level per pass (A/B + fallback knob).
     level_pairing: bool = True
+    # Flat-plane Schur kernel suite (ops/schur_planes.py) for wide batches
+    # (B % 1024 == 0): every knot owns whole (8, 128) tiles, eliminating the
+    # per-row broadcast/extract shuffles of the [nn, N, B] kernels. False =
+    # force the [nn, N, B] suite (A/B + fallback knob).
+    flat_planes: bool = True
     # Chunked hybrid value scan for the mid-block pscan family: serial
     # Woodbury leaf folds build one composite per ``s``-knot chunk (unit
     # slices on a pre-relayouted ``[s, ...]`` leaf slab — no strided

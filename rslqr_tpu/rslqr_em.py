@@ -221,9 +221,16 @@ def _sweep_level_em(A, B, level, depth, Fls, Fxs, Fus, n, m, nb, ex=None,
         mode = _pallas_schur_mode(Fls[0].dtype, nb, A.shape[2], A.shape[3:],
                                   n, options)
         if mode is not None:
-            S_next = _schur_pallas(
-                A, B, level, depth, Fls, Fxs, Fus, fsols, n, m, mode
-            )
+            if _flat_path_ok(
+                Fls[0].dtype, nb, A.shape[2], A.shape[3:], options
+            ):
+                S_next = _schur_flat(
+                    A, B, level, depth, Fls, Fxs, Fus, fsols, n, m, mode
+                )
+            else:
+                S_next = _schur_pallas(
+                    A, B, level, depth, Fls, Fxs, Fus, fsols, n, m, mode
+                )
             return Lc, S_next
         interp = _planes_update_interp(Fls[0], nb)
         if interp is not None:
@@ -240,7 +247,9 @@ def _level_products_em(A, B, level, depth, Fls, Fxs, Fus, nb, ex, n):
     nested_dissection.c:114-134): either pass through the compact arrays
     emitted by the previous level's kernel or compute from slab slices."""
     if ex is not None:
-        return [_em_from_gm(S, n, n) for S in ex]
+        # Kernel-emitted products: [G, nn, B] group-major from the [nn,N,B]
+        # kernels, already-element-major [n, n, G, B] from the flat path.
+        return [S if S.ndim == 4 else _em_from_gm(S, n, n) for S in ex]
     span = 1 << (level + 1)
     mid = (1 << level) - 1
     nk = nb + 1
@@ -474,6 +483,79 @@ def _schur_pallas(A, B_dyn, level, depth, Fls, Fxs, Fus, fsols, n, m, interpret)
     return S_next
 
 
+def _flat_path_ok(dtype, nb: int, N: int, b_shape, opts=None) -> bool:
+    """Whether the flat-plane kernel suite (ops/schur_planes.py) applies:
+    one flattened batch axis whose width gives every knot whole (8, 128)
+    tiles. The [nn, N, B] kernels remain the fallback for narrow batches."""
+    from .ops.schur_planes import flat_ok
+
+    if opts is not None and not opts.flat_planes:
+        return False
+    return nb == 1 and flat_ok(N, b_shape[0], dtype)
+
+
+def _flat(x: jax.Array) -> jax.Array:
+    """Element-major blocks ``[p, q, N, B] -> [pq, N*B/128, 128]`` (free)."""
+    p, q, N, B = x.shape
+    return x.reshape(p * q, N * B // 128, 128)
+
+
+def _flatv(x: jax.Array) -> jax.Array:
+    """Element-major vectors ``[p, N, B] -> [p, N*B/128, 128]`` (free)."""
+    p, N, B = x.shape
+    return x.reshape(p, N * B // 128, 128)
+
+
+def _sep_flat(M: jax.Array, level: int) -> jax.Array:
+    """Dynamics at level-``level`` separator knots as flat compact planes:
+    ``[p, q, N, B] -> [pq, G*B/128, 128]`` with ``G = N / 2^{level+1}``."""
+    p, q, N, B = M.shape
+    span = 1 << (level + 1)
+    G = N // span
+    sep = M.reshape(p * q, G, span, B)[:, :, span // 2 - 1, :]
+    return sep.reshape(p * q, G * B // 128, 128)
+
+
+def _schur_flat(A, B_dyn, level, depth, Fls, Fxs, Fus, fsols, n, m, interpret):
+    """Run the flat-plane fused Schur stage (ops/schur_planes.py); mutates
+    the slab lists, returns the next level's inner products (as element-
+    major [n, n, G2, B] arrays) or None."""
+    from .ops.schur_planes import _flat_geometry, schur_update_level_flat
+
+    N, B = Fls[level].shape[2], Fls[level].shape[3]
+    nn = n * n
+    us = list(range(level + 1, depth))
+    rb, kpt, _, span, _, gd2 = _flat_geometry(level, N, B)
+    Asep = Bsep = None
+    if gd2 > 0 and level + 2 <= depth:
+        Asep = _sep_flat(A, level + 1)
+        Bsep = _sep_flat(B_dyn, level + 1)
+    ol, ox, ou, S_next = schur_update_level_flat(
+        _flat(Fls[level]),
+        _flat(Fxs[level]),
+        _flat(Fus[level]),
+        [_flat(Fls[u]) for u in us],
+        [_flat(Fxs[u]) for u in us],
+        [_flat(Fus[u]) for u in us],
+        [_flat(fsols[u]) for u in us],  # [nn, G*rb, 128] compact
+        Asep,
+        Bsep,
+        level=level,
+        n=n,
+        m=m,
+        N=N,
+        interpret=interpret,
+    )
+    for i, u in enumerate(us):
+        Fls[u] = ol[i].reshape(n, n, N, B)
+        Fxs[u] = ox[i].reshape(n, n, N, B)
+        Fus[u] = ou[i].reshape(m, n, N, B)
+    if S_next is None:
+        return None
+    G2 = N // (2 * span)  # span = 2^{level+1} from _flat_geometry
+    return [S.reshape(n, n, G2, B) for S in S_next]
+
+
 def _pair_prepass(A, B, level, depth, Fls, Fxs, Fus, fsols1, nb):
     """Compact pre-pass for the level-paired kernel: the level-(L+1) inner
     products ``S_{L+1}`` (ndlqr_FactorInnerProduct, nested_dissection.c:
@@ -610,6 +692,25 @@ def _rhs_level_em(A, B, level, Fl, Fx, Fu, Lc, zy, zx, zu, nb, options=None):
 
     n, m = zy.shape[0], zu.shape[0]
     mode = _pallas_schur_mode(Fl.dtype, nb, N, zy.shape[2:], n, options)
+    if mode is not None and _flat_path_ok(
+            Fl.dtype, nb, N, zy.shape[2:], options
+    ):
+        from .ops.schur_planes import rhs_update_level_flat
+
+        B_ = zy.shape[2]
+        oy, ox_, ou_ = rhs_update_level_flat(
+            _flat(Fl),
+            _flat(Fx),
+            _flat(Fu),
+            _flatv(zy), _flatv(zx), _flatv(zu),
+            zbar.reshape(n, G * B_ // 128, 128),
+            level=level, n=n, m=m, N=N, interpret=mode,
+        )
+        return (
+            oy.reshape(n, N, B_),
+            ox_.reshape(n, N, B_),
+            ou_.reshape(m, N, B_),
+        )
     if mode is not None:
         # Fused slab application: one HBM pass over the level's factor slab
         # (ops/schur_pallas.rhs_update_level_em); the compact separator
@@ -765,21 +866,44 @@ def _factorize_em_impl(
         Lc0 = la.bcholesky(Ss[0], nk)
         fsols0 = [la.bcho_solve(Lc0, S, nk) for S in Ss[1:]]
         Bb = A.shape[3]
-        Fls, Fxs, Fus, ex = leaf_schur_level0_em(
-            A.reshape(n * n, N, Bb),
-            B.reshape(n * m, N, Bb),
-            qinv,
-            rinv,
-            _gm(Ss[0]),
-            [_gm(f) for f in fsols0],
-            _sep_gm(A, 1),
-            _sep_gm(B, 1),
-            depth=t.depth,
-            n=n,
-            m=m,
-            interpret=mode,
-            factor_dtype=opts.factor_dtype,
-        )
+        use_flat = _flat_path_ok(fdt, nb, N, pbl.A.shape[3:], opts)
+        if use_flat:
+            from .ops.schur_planes import leaf_schur_level0_flat
+
+            Fls, Fxs, Fus, ex = leaf_schur_level0_flat(
+                _flat(A),
+                _flat(B),
+                _flatv(qinv),
+                _flatv(rinv),
+                _flat(Ss[0]),
+                [_flat(f) for f in fsols0],
+                _sep_flat(A, 1),
+                _sep_flat(B, 1),
+                depth=t.depth,
+                n=n,
+                m=m,
+                N=N,
+                interpret=mode,
+                factor_dtype=opts.factor_dtype,
+            )
+            if ex is not None:
+                ex = [S.reshape(n, n, N // 4, Bb) for S in ex]
+        else:
+            Fls, Fxs, Fus, ex = leaf_schur_level0_em(
+                A.reshape(n * n, N, Bb),
+                B.reshape(n * m, N, Bb),
+                qinv,
+                rinv,
+                _gm(Ss[0]),
+                [_gm(f) for f in fsols0],
+                _sep_gm(A, 1),
+                _sep_gm(B, 1),
+                depth=t.depth,
+                n=n,
+                m=m,
+                interpret=mode,
+                factor_dtype=opts.factor_dtype,
+            )
         Fls = [x.reshape(n, n, N, Bb) for x in Fls]
         Fxs = [x.reshape(n, n, N, Bb) for x in Fxs]
         Fus = [x.reshape(m, n, N, Bb) for x in Fus]
@@ -798,8 +922,13 @@ def _factorize_em_impl(
         # Level pairing: two sweep levels per slab pass (the single biggest
         # HBM saving after the fused leaf — see _sweep_pair_em). Applicable
         # whenever the pair kernel runs and level+1 still has upper levels
-        # to update.
-        if mode is not None and level <= t.depth - 3 and opts.level_pairing:
+        # to update. The flat-plane path skips it: its kernels run ~2x the
+        # rate of the [nn, N, B] suite and pairing bought only ~4% there
+        # (probes/probe_pair_ab.py).
+        if (
+            mode is not None and level <= t.depth - 3 and opts.level_pairing
+            and not _flat_path_ok(fdt, nb, N, pbl.A.shape[3:], opts)
+        ):
             Lc1, Lc2, ex = _sweep_pair_em(
                 A, B, level, t.depth, Fls, Fxs, Fus, n, m, nb, ex, opts, mode
             )
