@@ -153,6 +153,19 @@ def _unpv(p: jax.Array, rows: int, shape) -> jax.Array:
     return p[:, :, :rows, :].reshape(shape)
 
 
+def _pvv(x: jax.Array) -> Tuple[jax.Array, int]:
+    """Block-vector twin of :func:`_pv`: ``[p, *b] -> ([p, R, 128], rows)``."""
+    F = 1
+    for s in x.shape[1:]:
+        F *= s
+    rows = F // 128
+    p = x.reshape(x.shape[0], rows, 128)
+    R = -(-rows // 8) * 8
+    if R != rows:
+        p = jnp.pad(p, ((0, 0), (0, R - rows), (0, 0)))
+    return p, rows
+
+
 def _planes_chol_maybe(A: jax.Array, nbatch: int) -> Optional[jax.Array]:
     """Fused planes Cholesky kernel when applicable (see planes_pallas)."""
     interp = _planes_interpret()
@@ -284,23 +297,41 @@ def bgemm_tt(
     tbt: bool = False,
     cin: Optional[jax.Array] = None,
     sub: bool = True,
+    diag: Optional[jax.Array] = None,
+    dconst: float = 0.0,
+    sym: bool = False,
+    kscale: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Planes gemm with transpose flags and optional fused accumulate:
-    ``op(A) @ op(B)`` or ``cin -/+ op(A) @ op(B)`` (``cin`` is DONATED).
+    """Planes gemm with transpose flags and optional fused epilogues:
+    ``op(A) @ op(B)`` or ``cin -/+ op(A) @ op(B)`` (``cin`` is DONATED),
+    plus ``diag``/``dconst`` added to the output diagonal and ``sym``
+    (symmetric output: only the lower triangle is computed and mirrored;
+    ``cin`` must itself be symmetric).
 
     ``ta``: A stored transposed (``[.., K, p, *b]``); ``tbt``: B stored
     transposed (``[.., q, K, *b]``). On the mid-block element-plane path the
     transposes are free (the kernel reads the flags, ops/planes_pallas.py)
     — a pallas_call cannot fuse an XLA transpose, so pre-transposing an
-    operand would cost a full relayout pass. Falls back to explicit block
-    transposes + :func:`bgemm` when the planes kernel is not applicable.
+    operand would cost a full relayout pass; likewise the diagonal adds of
+    the scan combines (``I + C J``, ``J + diag(Q)``) fuse into the same
+    HBM pass instead of a separate ``.at[diag].add`` slab pass. Falls back
+    to explicit block transposes + :func:`bgemm` + XLA epilogues when the
+    planes kernel is not applicable.
     """
     interp = _planes_interpret()
     arrs = (A, B) + ((cin,) if cin is not None else ())
-    if (
+    ok = (
         _planes_args_ok(arrs, nbatch, interp)
         and max(A.shape[0], A.shape[1]) > small_block_threshold()
-    ):
+    )
+    for v in (diag, kscale):
+        if ok and v is not None:
+            ok = (
+                v.ndim == 1 + nbatch
+                and v.shape[1:] == A.shape[2:]
+                and (interp or v.dtype == jnp.float32)
+            )
+    if ok:
         from .ops.planes_pallas import _pgemm_call
 
         p = A.shape[1] if ta else A.shape[0]
@@ -309,15 +340,29 @@ def bgemm_tt(
         ap, rows = _pv(A)
         bp, _ = _pv(B)
         cp = _pv(cin)[0] if cin is not None else None
+        dp = _pvv(diag)[0] if diag is not None else None
+        kp = _pvv(kscale)[0] if kscale is not None else None
         out = _pgemm_call(
-            ap, bp, cp, ta=ta, tbt=tbt, sub=sub, interpret=interp
+            ap, bp, cp, dp, kp, ta=ta, tbt=tbt, sub=sub, interpret=interp,
+            dconst=dconst, sym=sym,
         )
         return _unpv(out, rows, (p, q) + bshape)
     At = transpose_block(A, nbatch) if ta else A
     Bt = transpose_block(B, nbatch) if tbt else B
+    if kscale is not None:
+        Bt = Bt * jnp.expand_dims(kscale, -(nbatch + 1))
     out = bgemm(At, Bt, nbatch)
     if cin is not None:
         out = cin - out if sub else cin + out
+    if diag is not None or dconst:
+        p = out.shape[-(nbatch + 2)]
+        idx = (Ellipsis, jnp.arange(p), jnp.arange(p)) + (
+            slice(None),
+        ) * nbatch
+        if diag is not None:
+            out = out.at[idx].add(diag)
+        if dconst:
+            out = out.at[idx].add(dconst)
     return out
 
 

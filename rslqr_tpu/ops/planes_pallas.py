@@ -52,7 +52,8 @@ T2 = 128
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def _gemm_kernel(*refs, p, K, q, ta, tbt, has_cin, sub, lam_level, logb, t1):
+def _gemm_kernel(*refs, p, K, q, ta, tbt, has_cin, sub, lam_level, logb, t1,
+                 has_diag, dconst, sym, has_ks):
     """Shared body: C[i, j] = sum_k A[i, k] * B[k, j] over [t1, t2] planes.
 
     ``ta``: A is stored transposed ([K, p, ...], read A[k, i]).
@@ -64,11 +65,27 @@ def _gemm_kernel(*refs, p, K, q, ta, tbt, has_cin, sub, lam_level, logb, t1):
     (the solved separator block) — nested_dissection.c:154-177 fused in.
     ``logb``: log2(batch lanes per knot) for knot-id recovery from the
     flattened plane position (plane element (r, c) is flat r*t2 + c).
+    ``has_diag``/``dconst``: fused diagonal add — C[i, i] += diag[i] planes
+    and/or the constant ``dconst`` (kills the separate ``.at[diag].add``
+    slab pass of the scan combines' ``I + C J`` / ``J + diag(Q)`` algebra).
+    ``sym``: the output is symmetric (p == q, e.g. F' (J M) F, W V' with
+    W = F M1U, V' = (V F')'): only the lower triangle is computed (half the
+    FMAs) and the upper mirrors it with register copies. Requires a
+    symmetric ``Cin`` when combined with ``has_cin``.
+    ``has_ks``: fused contraction-index scale ``op(A) diag(ks) op(B)``
+    (e.g. ``F' diag(Q) M F`` with a diagonal middle factor) — applied on
+    the A side, one scalar-plane multiply per (i, k) instead of a
+    separate row-scale slab pass.
     """
-    if has_cin:
-        a_ref, b_ref, c_ref, o_ref = refs
-    else:
-        a_ref, b_ref, o_ref = refs
+    a_ref, b_ref = refs[0], refs[1]
+    k_next = 2
+    c_ref = refs[k_next] if has_cin else None
+    k_next += int(has_cin)
+    d_ref = refs[k_next] if has_diag else None
+    k_next += int(has_diag)
+    ks_ref = refs[k_next] if has_ks else None
+    k_next += int(has_ks)
+    o_ref = refs[k_next]
 
     if lam_level >= 0:
         # Plane element (row r, col c) of the flattened [P1, P2] grid holds
@@ -89,10 +106,32 @@ def _gemm_kernel(*refs, p, K, q, ta, tbt, has_cin, sub, lam_level, logb, t1):
         sep = (knots & (span - 1)) == halfspan
 
     def lhs(i, k):
-        return a_ref[k, i] if ta else a_ref[i, k]
+        v = a_ref[k, i] if ta else a_ref[i, k]
+        return v * ks_ref[k] if has_ks else v
 
     def rhs(k):
         return b_ref[:, k] if tbt else b_ref[k]
+
+    if sym:
+        # Lower triangle only: row i needs columns 0..i. Rows are stored as
+        # they complete; a final mirror pass copies o[j, i] -> o[i, j]
+        # plane-by-plane (register moves, vs K FMAs per skipped element).
+        for i in range(p):
+            w = i + 1
+            acc = rhs(0)[:w] * lhs(i, 0)[None]
+            for k in range(1, K):
+                acc = acc + rhs(k)[:w] * lhs(i, k)[None]
+            if has_cin:
+                acc = c_ref[i, :w] - acc if sub else c_ref[i, :w] + acc
+            if has_diag:
+                acc = acc.at[w - 1].add(d_ref[i])
+            if dconst:
+                acc = acc.at[w - 1].add(dconst)
+            o_ref[i, :w] = acc
+        for i in range(p):
+            for j in range(i + 1, p):
+                o_ref[i, j] = o_ref[j, i]
+        return
 
     def body(i, _):
         acc = rhs(0) * lhs(i, 0)[None]
@@ -102,10 +141,26 @@ def _gemm_kernel(*refs, p, K, q, ta, tbt, has_cin, sub, lam_level, logb, t1):
             v = c_ref[i] - jnp.where(keep[None], acc, 0.0)
             o_ref[i] = jnp.where(sep[None], b_ref[i], v)
         elif has_cin:
-            o_ref[i] = c_ref[i] - acc if sub else c_ref[i] + acc
+            acc = c_ref[i] - acc if sub else c_ref[i] + acc
+            o_ref[i] = acc
         else:
             o_ref[i] = acc
         return 0
+
+    if has_diag or dconst:
+        # Unrolled rows (the diagonal index varies per row).
+        for i in range(p):
+            acc = rhs(0) * lhs(i, 0)[None]
+            for k in range(1, K):
+                acc = acc + rhs(k) * lhs(i, k)[None]
+            if has_cin:
+                acc = c_ref[i] - acc if sub else c_ref[i] + acc
+            if has_diag:
+                acc = acc.at[i].add(d_ref[i])
+            if dconst:
+                acc = acc.at[i].add(dconst)
+            o_ref[i] = acc
+        return
 
     jax.lax.fori_loop(0, p, body, 0)
 
@@ -113,13 +168,16 @@ def _gemm_kernel(*refs, p, K, q, ta, tbt, has_cin, sub, lam_level, logb, t1):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "ta", "tbt", "sub", "lam_level", "logb", "interpret", "t1"
+        "ta", "tbt", "sub", "lam_level", "logb", "interpret", "t1",
+        "dconst", "sym",
     ),
 )
 def _pgemm_call(
     A: jax.Array,            # [p, K, P1, P2] (or [K, p, ..] when ta)
     B: jax.Array,            # [K, q, P1, P2] (or [q, K, ..] when tbt)
     Cin: Optional[jax.Array] = None,  # [p, q, P1, P2], aliased to the output
+    diag: Optional[jax.Array] = None,  # [p, P1, P2] added to the diagonal
+    kscale: Optional[jax.Array] = None,  # [K, P1, P2] contraction scale
     *,
     ta: bool = False,
     tbt: bool = False,
@@ -128,16 +186,23 @@ def _pgemm_call(
     logb: int = 0,
     interpret: bool = False,
     t1: int = T1,
+    dconst: float = 0.0,
+    sym: bool = False,
 ):
     P1, P2 = A.shape[-2:]
     p = A.shape[1] if ta else A.shape[0]
     K = A.shape[0] if ta else A.shape[1]
     q = B.shape[0] if tbt else B.shape[1]
+    if (diag is not None or dconst or sym) and p != q:
+        raise ValueError(f"diag/sym need a square output, got {p}x{q}")
+    if sym and lam_level >= 0:
+        raise ValueError("sym and lam_level are mutually exclusive")
     t2 = min(T2, P2)
     grid = (P1 // t1, P2 // t2)
     spec = lambda d0, d1: pl.BlockSpec(
         (d0, d1, t1, t2), lambda i, j: (0, 0, i, j)
     )
+    vspec = lambda d0: pl.BlockSpec((d0, t1, t2), lambda i, j: (0, i, j))
     in_specs = [
         spec(*((K, p) if ta else (p, K))),
         spec(*((q, K) if tbt else (K, q))),
@@ -148,10 +213,17 @@ def _pgemm_call(
         in_specs.append(spec(p, q))
         args.append(Cin)
         aliases[2] = 0
+    if diag is not None:
+        in_specs.append(vspec(p))
+        args.append(diag)
+    if kscale is not None:
+        in_specs.append(vspec(K))
+        args.append(kscale)
     kernel = functools.partial(
         _gemm_kernel, p=p, K=K, q=q, ta=ta, tbt=tbt,
         has_cin=Cin is not None, sub=sub, lam_level=lam_level, logb=logb,
-        t1=t1,
+        t1=t1, has_diag=diag is not None, dconst=dconst, sym=sym,
+        has_ks=kscale is not None,
     )
     return pl.pallas_call(
         kernel,

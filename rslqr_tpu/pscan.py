@@ -76,9 +76,8 @@ def _combine(e1, e2, nb: int):
     F1, c1, C1, eta1, J1 = e1
     F2, c2, C2, eta2, J2 = e2
     n = F1.shape[-(nb + 2)]
-    eye = la.beye(n, F1, nb)
 
-    IC = eye + la.bgemm(C1, J2, nb)
+    IC = la.bgemm_tt(C1, J2, nb, dconst=1.0)
     w = eta2 - la.bgemv(J2, c1, nb)
     ve = lambda v: jnp.expand_dims(v, -(nb + 1))
     b_c = ve(c1 + la.bgemv(C1, eta2, nb))
@@ -100,9 +99,15 @@ def _combine(e1, e2, nb: int):
 
     F = la.bgemm(F2, MF1, nb)
     c = la.bgemv(F2, Mc, nb) + c2
-    C = la.bgemm(la.bgemm(F2, MC1, nb), la.transpose_block(F2, nb), nb) + C2
-
-    J = la.bgemm(F1t, la.bgemm(J2, MF1, nb), nb) + J1
+    # C / J are symmetric (C1 M1' = M1 C1, J2 M1 likewise): sym halves the
+    # FMAs, tbt reads F2 transposed in-kernel (no relayout pass), and cin
+    # fuses the += into the same HBM pass.
+    C = la.bgemm_tt(
+        la.bgemm(F2, MC1, nb), F2, nb, tbt=True, cin=C2, sub=False, sym=True
+    )
+    J = la.bgemm_tt(
+        F1t, la.bgemm(J2, MF1, nb), nb, cin=J1, sub=False, sym=True
+    )
     eta = la.bgemv(F1t, w - la.bgemv(J2, MCw, nb), nb) + eta1
     return (F, c, C, eta, J)
 
@@ -121,9 +126,8 @@ def _combine_reduced(e1, pj2, nb: int):
     F1, c1, C1, eta1, J1 = e1
     eta2, J2 = pj2
     n = F1.shape[-(nb + 2)]
-    eye = la.beye(n, F1, nb)
 
-    IC = eye + la.bgemm(C1, J2, nb)
+    IC = la.bgemm_tt(C1, J2, nb, dconst=1.0)
     w = eta2 - la.bgemv(J2, c1, nb)
     b_w = jnp.expand_dims(la.bgemv(C1, w, nb), -(nb + 1))
     F1t = la.transpose_block(F1, nb)  # before the solve: F1 may be donated
@@ -137,7 +141,9 @@ def _combine_reduced(e1, pj2, nb: int):
         MF1, MCwm = la.bsolve_multi(IC, (F1, b_w), nb)
         MCw = MCwm.squeeze(-(nb + 1))
 
-    J = la.bgemm(F1t, la.bgemm(J2, MF1, nb), nb) + J1
+    J = la.bgemm_tt(
+        F1t, la.bgemm(J2, MF1, nb), nb, cin=J1, sub=False, sym=True
+    )
     eta = la.bgemv(F1t, w - la.bgemv(J2, MCw, nb), nb) + eta1
     return eta, J
 
@@ -332,16 +338,11 @@ def _gains_from(A, B, Rd, r, f, Pn, pn, nb: int, em: bool = False):
     """Gain algebra on explicit per-knot arrays (shared with the
     horizon-sharded path, where ``Pn``/``pn`` cross a device boundary).
     ``em``: block dims lead (``[m, m, L, B]``) instead of following the
-    knot axis — only the diagonal-add indexing differs."""
+    knot axis (kept for call-site documentation; the fused diag add in
+    :func:`linalg.bgemm_tt` indexes batch-relative, covering both)."""
     Bt = la.transpose_block(B, nb)
     BtP = la.bgemm(Bt, Pn, nb)
-    Quu = la.bgemm(BtP, B, nb)
-    m = B.shape[-(nb + 1)]
-    diag = (jnp.arange(m), jnp.arange(m))
-    if em:
-        Quu = Quu.at[diag].add(Rd)
-    else:
-        Quu = Quu.at[(slice(None),) + diag].add(Rd)
+    Quu = la.bgemm_tt(BtP, B, nb, diag=Rd, sym=True)
     Qux = la.bgemm(BtP, A, nb)
     Qu = r + la.bgemv(Bt, la.bgemv(Pn, f, nb) + pn, nb)
 
@@ -410,10 +411,9 @@ def _combine_leaf_pair(l1, l2, nb: int):
     A2, U2, V2, c2, eta2, Qd2 = l2
     n, m = A1.shape[0], U1.shape[1]
     dg_m = (jnp.arange(m), jnp.arange(m))
-    dg_n = (jnp.arange(n), jnp.arange(n))
 
     T = V1 * Qd2[None]  # B1' J2: column j scaled by Qd2[j]
-    Sm = la.bgemm_tt(T, U1, nb).at[dg_m].add(1.0)
+    Sm = la.bgemm_tt(T, U1, nb, dconst=1.0)
     eyeP = jnp.zeros(Sm.shape, Sm.dtype).at[dg_m].set(1.0)
     (G_I,) = la.bsolve_multi(Sm, (eyeP,), nb)
     M1U = la.bgemm_tt(U1, G_I, nb)  # U Sm^{-1} [n, m]
@@ -425,9 +425,12 @@ def _combine_leaf_pair(l1, l2, nb: int):
     W = la.bgemm_tt(A2, M1U, nb)            # [n, m]
     Vt = la.bgemm_tt(V1, A2, nb, tbt=True)  # B1' A2' [m, n]
     C2 = la.bgemm_tt(U2, V2, nb)            # Brinv2 B2'
-    C = la.bgemm_tt(W, Vt, nb, cin=C2, sub=False)
-    # J = F1' (J2 M1 F1) + J1, J2 diagonal -> row scale.
-    J = la.bgemm_tt(A1, MF1 * Qd2[:, None], nb, ta=True).at[dg_n].add(Qd1)
+    C = la.bgemm_tt(W, Vt, nb, cin=C2, sub=False, sym=True)
+    # J = F1' diag(Qd2) (M1 F1) + diag(Qd1): the diagonal middle factor and
+    # the diagonal add both fuse into the kernel (kscale/diag flags).
+    J = la.bgemm_tt(
+        A1, MF1, nb, ta=True, kscale=Qd2, diag=Qd1, sym=True
+    )
 
     b_c = c1 + la.bgemv(U1, la.bgemv(V1, eta2, nb), nb)
     c = la.bgemv(A2, b_c - la.bgemv(M1U, la.bgemv(T, b_c, nb), nb), nb) + c2
@@ -462,10 +465,9 @@ def _combine_reduced_leaf(l1, pj2, nb: int, gains=None):
     m = U1.shape[1]
     n = A1.shape[0]
     dg_m = (jnp.arange(m), jnp.arange(m))
-    dg_n = (jnp.arange(n), jnp.arange(n))
 
     T = la.bgemm_tt(V1, J2, nb)  # B1' J2 [m, n]
-    Sm = la.bgemm_tt(T, U1, nb).at[dg_m].add(1.0)
+    Sm = la.bgemm_tt(T, U1, nb, dconst=1.0)
     eyeP = jnp.zeros(Sm.shape, Sm.dtype).at[dg_m].set(1.0)
     (G_I,) = la.bsolve_multi(Sm, (eyeP,), nb)
     M1U = la.bgemm_tt(U1, G_I, nb)
@@ -473,7 +475,7 @@ def _combine_reduced_leaf(l1, pj2, nb: int, gains=None):
     MF1 = A1 - la.bgemm_tt(M1U, TA1, nb)
 
     J2MF1 = la.bgemm_tt(J2, MF1, nb)
-    J = la.bgemm_tt(A1, J2MF1, nb, ta=True).at[dg_n].add(Qd1)
+    J = la.bgemm_tt(A1, J2MF1, nb, ta=True, diag=Qd1, sym=True)
     w = eta2 - la.bgemv(J2, c1, nb)
     Vw = la.bgemv(V1, w, nb)  # B1' w [m]
     MCw = la.bgemv(M1U, Vw, nb)
@@ -501,10 +503,9 @@ def _combine_leaf_full(l1, e2, nb: int):
     F2, c2, C2, eta2, J2 = e2
     n, m = A1.shape[0], U1.shape[1]
     dg_m = (jnp.arange(m), jnp.arange(m))
-    dg_n = (jnp.arange(n), jnp.arange(n))
 
     T = la.bgemm_tt(V1, J2, nb)  # B1' J2 [m, n]
-    Sm = la.bgemm_tt(T, U1, nb).at[dg_m].add(1.0)
+    Sm = la.bgemm_tt(T, U1, nb, dconst=1.0)
     eyeP = jnp.zeros(Sm.shape, Sm.dtype).at[dg_m].set(1.0)
     (G_I,) = la.bsolve_multi(Sm, (eyeP,), nb)
     M1U = la.bgemm_tt(U1, G_I, nb)  # U Sm^{-1} [n, m]
@@ -515,10 +516,10 @@ def _combine_leaf_full(l1, e2, nb: int):
     # C = F2 (M1 C1) F2' + C2 with M1 C1 = M1U V1 (rank m).
     W = la.bgemm_tt(F2, M1U, nb)  # [n, m]
     Vt = la.bgemm_tt(V1, F2, nb, tbt=True)  # V1 F2' [m, n]
-    C = la.bgemm_tt(W, Vt, nb, cin=C2, sub=False)
-    # J = F1' (J2 M1 F1) + J1, J1 = diag(Qd1).
+    C = la.bgemm_tt(W, Vt, nb, cin=C2, sub=False, sym=True)
+    # J = F1' (J2 M1 F1) + J1, J1 = diag(Qd1) (diag fused).
     J2MF1 = la.bgemm_tt(J2, MF1, nb)
-    J = la.bgemm_tt(A1, J2MF1, nb, ta=True).at[dg_n].add(Qd1)
+    J = la.bgemm_tt(A1, J2MF1, nb, ta=True, diag=Qd1, sym=True)
 
     b_c = c1 + la.bgemv(U1, la.bgemv(V1, eta2, nb), nb)
     c = (

@@ -43,6 +43,73 @@ def test_pgemm_transpose_flags():
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-12, atol=1e-12)
 
 
+def test_pgemm_epilogue_flags():
+    """diag / dconst / kscale / sym fused epilogues vs numpy (round-5
+    scan-combine fusion: I + C J, J + diag(Q), F' diag(Q) M F)."""
+    from rslqr_tpu.ops.planes_pallas import _pgemm_call
+
+    k1, k2, k3, k4, k5 = jax.random.split(jax.random.PRNGKey(7), 5)
+    p_ = 5
+    A = _planes(k1, p_, p_)
+    B = _planes(k2, p_, p_)
+    d = jax.random.normal(k3, (p_, 8, 128), jnp.float64)
+    ks = jax.random.normal(k4, (p_, 8, 128), jnp.float64)
+    prod = np.einsum("ikxy,kjxy->ijxy", A, B)
+    eye = np.eye(p_)[:, :, None, None]
+
+    # dconst: C = A @ B + c * I.
+    np.testing.assert_allclose(
+        np.asarray(_pgemm_call(A, B, dconst=1.0, interpret=True)),
+        prod + eye, rtol=1e-12, atol=1e-12,
+    )
+    # diag operand: C[i, i] += d[i].
+    np.testing.assert_allclose(
+        np.asarray(_pgemm_call(A, B, None, d, interpret=True)),
+        prod + eye * np.asarray(d)[:, None], rtol=1e-12, atol=1e-12,
+    )
+    # kscale: C = A @ diag(ks) @ B.
+    np.testing.assert_allclose(
+        np.asarray(_pgemm_call(A, B, None, None, ks, interpret=True)),
+        np.einsum("ikxy,kxy,kjxy->ijxy", A, ks, B),
+        rtol=1e-12, atol=1e-12,
+    )
+    # sym: symmetric product, lower computed + mirrored.
+    S = np.einsum("ikxy,jkxy->ijxy", A, A)  # A A' is symmetric
+    np.testing.assert_allclose(
+        np.asarray(_pgemm_call(A, A, tbt=True, sym=True, interpret=True)),
+        S, rtol=1e-12, atol=1e-12,
+    )
+    # sym + cin + diag together (the J-site shape).
+    Csym = S.copy()
+    np.testing.assert_allclose(
+        np.asarray(
+            _pgemm_call(
+                A, A, jnp.array(Csym), d, tbt=True, sym=True, sub=False,
+                interpret=True,
+            )
+        ),
+        Csym + S + eye * np.asarray(d)[:, None],
+        rtol=1e-12, atol=1e-12,
+    )
+
+
+def test_bgemm_tt_flag_fallback_matches_kernel():
+    """The XLA fallback epilogues (small blocks / non-plane shapes) agree
+    with the kernel path semantics."""
+    from rslqr_tpu import linalg as la
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(8), 3)
+    n = 4  # below the small-block threshold -> XLA fallback
+    A = jax.random.normal(k1, (n, n, 16), jnp.float64)
+    Rd = jax.random.normal(k2, (n, 16), jnp.float64)
+    ks = jax.random.normal(k3, (n, 16), jnp.float64)
+    out = la.bgemm_tt(A, A, 1, tbt=True, diag=Rd, dconst=2.0, kscale=ks,
+                      sym=True)
+    want = np.einsum("ikb,kb,jkb->ijb", A, ks, A)
+    want += np.eye(n)[:, :, None] * (np.asarray(Rd)[:, None] + 2.0)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-12, atol=1e-12)
+
+
 def test_pgemm_acc_sub_and_add():
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
     A = _planes(k1, 4, 6)
