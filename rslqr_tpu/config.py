@@ -140,10 +140,15 @@ class SolveOptions:
     # _sweep_pair_em); False = one level per pass (A/B + fallback knob).
     level_pairing: bool = True
     # Flat-plane Schur kernel suite (ops/schur_planes.py) for wide batches
-    # (B % 1024 == 0): every knot owns whole (8, 128) tiles, eliminating the
-    # per-row broadcast/extract shuffles of the [nn, N, B] kernels. False =
-    # force the [nn, N, B] suite (A/B + fallback knob).
-    flat_planes: bool = True
+    # (B % 1024 == 0). MEASURED SLOWER than the [nn, N, B] suite (625 vs
+    # 745 GB/s at L=1/U=6, 17.3 vs 13.6 ms end-to-end — probes/
+    # probe_flatkernel.py, probe_flat_ab.py): the round-4 "shuffle-bound
+    # 0.44 TF/s" diagnosis that motivated it was a chain artifact (carrying
+    # only the multiplier slab forced XLA to copy every donated upper slab
+    # per iteration, doubling traffic); the [nn, N, B] kernels were already
+    # at ~91% of HBM roofline. Kept as a tested negative-result experiment;
+    # True opts in.
+    flat_planes: bool = False
     # Chunked hybrid value scan for the mid-block pscan family: serial
     # Woodbury leaf folds build one composite per ``s``-knot chunk (unit
     # slices on a pre-relayouted ``[s, ...]`` leaf slab — no strided

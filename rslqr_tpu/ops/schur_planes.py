@@ -25,6 +25,18 @@ slab is addressed as ``[p*q, N*B/128, 128]`` element planes:
 The multi-level traffic structure is preserved: ONE kernel invocation per
 tree level updates ALL upper slabs, reading the level's multiplier trio
 once per tile; each upper slab streams HBM exactly once (aliased in/out).
+
+**Measured outcome (round 5, negative result — kept as a tested
+experiment, off by default via ``SolveOptions.flat_planes``):** 625 GB/s
+at L=1/U=6 vs 745 GB/s for the [nn, N, B] suite, 17.3 vs 13.6 ms
+end-to-end (probes/probe_flatkernel.py, probe_flat_ab.py). The round-4
+"shuffle-bound 0.44 TF/s" diagnosis this layout was built to fix was a
+measurement artifact: the probe's chain carried only the multiplier slab,
+so XLA copied every donated upper slab each iteration and the apparent
+bandwidth halved. With slab-carrying chains the original kernels measure
+~91% of the 819 GB/s HBM roofline — there was no shuffle bound to
+eliminate, and the larger flat tiles (t1 = 64 rows) trade away pipelining
+headroom instead.
 """
 
 from __future__ import annotations

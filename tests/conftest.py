@@ -32,6 +32,25 @@ import pytest  # noqa: E402
 REFDIR = "/root/reference"
 
 
+@pytest.fixture
+def no_persistent_cache_write():
+    """Suppress persistent compile-cache WRITES for this test.
+
+    The quadruped-scale f64 vmap/MXU programs segfault inside XLA's CPU
+    ``executable.serialize()`` when the test process is already large
+    (reproduced twice at ~16 GB RSS during the full-suite run, stack:
+    compilation_cache.put_executable_and_time -> executable.serialize();
+    the same test passes in isolation, where serialize succeeds at low
+    RSS). ``jax_persistent_cache_min_compile_time_secs`` is checked
+    BEFORE the serialize call (jax/_src/compiler.py _cache_write), so
+    raising it skips the crashing path while cache READS still work —
+    warm-cache runs stay fast."""
+    old = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    yield
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", old)
+
+
 @pytest.fixture(scope="session")
 def lqr_prob_path():
     return os.path.join(REFDIR, "lqr_prob.json")

@@ -16,7 +16,7 @@ import rslqr_tpu as rt
 from rslqr_tpu.config import SolveOptions
 from rslqr_tpu.rslqr_em import _flat_path_ok, solve_em
 
-OPTS_FLAT = SolveOptions(layout="em", pallas="interpret")
+OPTS_FLAT = SolveOptions(layout="em", pallas="interpret", flat_planes=True)
 OPTS_REF = SolveOptions(layout="em", pallas="off")
 
 
