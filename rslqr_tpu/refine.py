@@ -272,6 +272,213 @@ def _np_pack_solution(Y, X, U):
     return np.concatenate([body, tail], axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Device-resident double-float refinement: f64-accurate solves at f32 rates.
+#
+# solve_refined_host pays two compact host round trips per iteration, which
+# on the remote-TPU tunnel costs seconds per batched solve (~193 solves/s
+# measured, BENCH_r04 refined_f64_detail). This path instead evaluates the
+# f64 residual ON DEVICE in double-float ("two-float" compensated)
+# arithmetic: every f64 quantity is an (hi, lo) pair of f32 planes with
+# value hi + lo and |lo| <= ulp(hi)/2, giving ~2^-48 relative accuracy —
+# comfortably below the 1e-6 reference bar and at the 1e-10..1e-12 level
+# the host path reaches. The whole refined solve (factor + initial solve +
+# K iterations of residual/correct) is ONE jitted device program; the host
+# sees only the final trajectory.
+#
+# The error-term algebra (Dekker/Knuth TwoSum/TwoProd) relies on IEEE f32
+# adds/multiplies; XLA does not reassociate floating-point expressions, and
+# all ops here are elementwise VPU ops (the matmul-precision knobs affect
+# only dot_general). Ref accuracy contract: test/sample_problem_test.c:150.
+# ---------------------------------------------------------------------------
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _quick_renorm(s, e):
+    hi = s + e
+    return hi, e - (hi - s)
+
+
+def _two_prod(a, b):
+    # Dekker split at 2^12 + 1 (f32 has 24 mantissa bits).
+    p = a * b
+    ca, cb = a * 4097.0, b * 4097.0
+    ah = ca - (ca - a)
+    al = a - ah
+    bh = cb - (cb - b)
+    bl = b - bh
+    return p, ((ah * bh - p) + ah * bl + al * bh) + al * bl
+
+
+def _df(hi, lo=None):
+    return (hi, jnp.zeros_like(hi) if lo is None else lo)
+
+
+def _df_add(x, y):
+    s, e = _two_sum(x[0], y[0])
+    return _quick_renorm(s, e + x[1] + y[1])
+
+
+def _df_neg(x):
+    return (-x[0], -x[1])
+
+
+def _df_mul(x, y):
+    p, e = _two_prod(x[0], y[0])
+    return _quick_renorm(p, e + x[0] * y[1] + x[1] * y[0])
+
+
+def _df_kkt_residual(phi, plo, Yd, Xd, Ud, nb):
+    """Double-float KKT residual ``b - K s`` (block rows per kkt_apply),
+    batch-last; returns ((ry, rx, ru) f32 hi planes, max|r|).
+
+    ``phi``/``plo`` are the (hi, lo) problem pytrees; ``Yd``/``Xd``/``Ud``
+    are (hi, lo) solution pairs with the terminal u scratch row.
+    """
+    def dfm(Mh, Ml, vd, transpose=False):
+        # [K,p,q,*b] (hi,lo) @ [K,q,*b] df -> [K,p,*b] df, unrolled over q.
+        p_dim = Mh.shape[-(nb + 1)] if transpose else Mh.shape[-(nb + 2)]
+        q_dim = Mh.shape[-(nb + 2)] if transpose else Mh.shape[-(nb + 1)]
+        idx = lambda M, i, j: M[
+            (Ellipsis,) + ((j, i) if transpose else (i, j))
+            + (slice(None),) * nb
+        ]
+        vh, vl = vd
+        vat = lambda j: (
+            vh[(Ellipsis, j) + (slice(None),) * nb],
+            vl[(Ellipsis, j) + (slice(None),) * nb],
+        )
+        outs_h, outs_l = [], []
+        for i in range(p_dim):
+            acc = _df_mul((idx(Mh, i, 0), idx(Ml, i, 0)), vat(0))
+            for j in range(1, q_dim):
+                acc = _df_add(
+                    acc, _df_mul((idx(Mh, i, j), idx(Ml, i, j)), vat(j))
+                )
+            outs_h.append(acc[0])
+            outs_l.append(acc[1])
+        ax = -(nb + 1)
+        return (
+            jnp.stack(outs_h, axis=ax), jnp.stack(outs_l, axis=ax)
+        )
+
+    cat = lambda ads, axis=0: (
+        jnp.concatenate([a[0] for a in ads], axis=axis),
+        jnp.concatenate([a[1] for a in ads], axis=axis),
+    )
+    Ad = (phi.A[:-1], plo.A[:-1])
+    Bd = (phi.B[:-1], plo.B[:-1])
+    X_head = (Xd[0][:-1], Xd[1][:-1])
+    U_head = (Ud[0][:-1], Ud[1][:-1])
+    X_tail = (Xd[0][1:], Xd[1][1:])
+    Y_tail = (Yd[0][1:], Yd[1][1:])
+
+    # y rows: [-x_0; A x + B u - x_+].
+    dyn = _df_add(
+        _df_add(dfm(*Ad, X_head), dfm(*Bd, U_head)), _df_neg(X_tail)
+    )
+    My = cat([(_df_neg((Xd[0][:1], Xd[1][:1]))), dyn])
+    # x rows: -y + Q x + A' y_+ (A' term absent at the terminal knot).
+    Qx = _df_mul((phi.Qdiag, plo.Qdiag), Xd)
+    Mx = _df_add(_df_neg(Yd), Qx)
+    AtY = dfm(*Ad, Y_tail, transpose=True)
+    Mx = cat([_df_add((Mx[0][:-1], Mx[1][:-1]), AtY),
+              (Mx[0][-1:], Mx[1][-1:])])
+    # u rows: R u + B' y_+.
+    Ru = _df_mul((phi.Rdiag, plo.Rdiag), Ud)
+    BtY = dfm(*Bd, Y_tail, transpose=True)
+    Mu = cat([_df_add((Ru[0][:-1], Ru[1][:-1]), BtY),
+              (Ru[0][-1:], Ru[1][-1:])])
+
+    by = cat([(_df_neg((phi.x0[None], plo.x0[None]))),
+              (_df_neg((phi.f[:-1], plo.f[:-1])))])
+    ry = _df_add(by, _df_neg(My))
+    rx = _df_add(_df_neg((phi.q, plo.q)), _df_neg(Mx))
+    ru = _df_add(_df_neg((phi.r, plo.r)), _df_neg(Mu))
+    ru = (ru[0].at[-1].set(0.0), ru[1].at[-1].set(0.0))
+    res = jnp.maximum(
+        jnp.max(jnp.abs(ry[0] + ry[1])),
+        jnp.maximum(
+            jnp.max(jnp.abs(rx[0] + rx[1])),
+            jnp.max(jnp.abs(ru[0][:-1] + ru[1][:-1])),
+        ),
+    )
+    return (ry[0] + ry[1], rx[0] + rx[1], ru[0] + ru[1]), res
+
+
+def _refine_df_impl(phi, plo, iterations, options):
+    """Device program: f32 factor + initial solve, then ``iterations``
+    double-float residual/correct steps. Returns ((Y,X,U) hi/lo pairs,
+    residual)."""
+    from . import linalg as la
+    from .config import resolve_options
+
+    opts = resolve_options(options)
+    with la.block_threshold(opts.mxu_block_threshold), \
+            la.pallas_ctx(opts.pallas):
+        nb = phi.A.ndim - 3
+        fact, (zy, zx, zu) = _refine_factor_init_impl(phi, opts)
+        Yd, Xd, Ud = _df(zy), _df(zx), _df(zu)
+        phib = rslqr._to_batch_last(phi, nb)
+        plob = rslqr._to_batch_last(plo, nb)
+        res = jnp.asarray(jnp.inf, jnp.float32)
+        for _ in range(iterations):
+            (ry, rx, ru), res = _df_kkt_residual(
+                phib, plob, Yd, Xd, Ud, nb
+            )
+            dy, dx, du = _refine_resolve_impl(phi, fact, (ry, rx, ru), opts)
+            Yd = _df_add(Yd, _df(dy))
+            Xd = _df_add(Xd, _df(dx))
+            Ud = _df_add(Ud, _df(du))
+        _, res = _df_kkt_residual(phib, plob, Yd, Xd, Ud, nb)
+        return (Yd, Xd, Ud), res
+
+
+_refine_df_jit = jax.jit(
+    _refine_df_impl, static_argnames=("iterations", "options")
+)
+
+
+def solve_refined_device(
+    prob: LQRProblem, iterations: int = 3, options=None
+):
+    """f64-accurate rsLQR solve with the residuals evaluated ON DEVICE in
+    double-float arithmetic — no per-iteration host round trips.
+
+    Same contract as :func:`solve_refined_host` (pass a numpy float64
+    problem; returns ``(kkt_f64 [*b, nvars], residual)``), at f32 device
+    rates: the whole refined solve is one compiled program.
+    """
+    from .config import resolve_options
+
+    opts = resolve_options(options)
+    nb = prob.A.ndim - 3
+
+    def hi_of(x):
+        return jnp.asarray(np.asarray(x, np.float64).astype(np.float32))
+
+    def lo_of(x):
+        x64 = np.asarray(x, np.float64)
+        hi = x64.astype(np.float32)
+        return jnp.asarray((x64 - hi.astype(np.float64)).astype(np.float32))
+
+    phi = jax.tree.map(hi_of, prob)
+    plo = jax.tree.map(lo_of, prob)
+    (Yd, Xd, Ud), res = _refine_df_jit(phi, plo, iterations, opts)
+
+    def to_np64(d):  # batch-last (hi, lo) -> leading-batch numpy f64
+        a = np.asarray(d[0], np.float64) + np.asarray(d[1], np.float64)
+        return np.moveaxis(a, -1, 0) if nb else a
+
+    Y, X, U = to_np64(Yd), to_np64(Xd), to_np64(Ud)
+    return _np_pack_solution(Y, X, U[..., :-1, :]), float(res)
+
+
 def solve_refined_host(
     prob: LQRProblem, iterations: int = 3, options=None
 ):
