@@ -628,8 +628,18 @@ def _value_scan_chunked_em(pem, nb2: int, s: int, gains: bool = False):
     lj = lambda j: tuple(x[j] for x in lc)
 
     comp = _combine_leaf_pair(lj(s - 2), lj(s - 1), nb2)
-    for j in range(s - 3, -1, -1):
-        comp = _combine_leaf_full(lj(j), comp, nb2)
+    if s > 2:
+        # Serial fold as lax.scan: ONE compiled combine body instead of
+        # s - 2 unrolled copies (the unrolled form dominated the quadruped
+        # program's compile latency, BENCH_r04 compile_first_s ~108 s).
+        # Each scan step slices a contiguous [p, q, C, B] slab off the
+        # stacked leaf arrays — same access pattern as the unrolled loop.
+        rest = tuple(x[: s - 2] for x in lc)
+
+        def fold_body(c, leaf_j):
+            return _combine_leaf_full(leaf_j, c, nb2), None
+
+        comp, _ = jax.lax.scan(fold_body, comp, rest, reverse=True)
 
     eta_s, J_s = _suffix_pj(comp, nb2, em=True)  # suffix at chunk starts
     # Interior seeds: the NEXT chunk's boundary suffix; zeros for the last
@@ -642,38 +652,52 @@ def _value_scan_chunked_em(pem, nb2: int, s: int, gains: bool = False):
         em=True,
     )
     eta_v, J_v = shift(eta_s), shift(J_s)
-    etas, Js = [None] * s, [None] * s
 
-    def unchunk(xs):
-        # s x [.., C, B] -> [.., N, B] (inverse of chunkify).
-        y = jnp.moveaxis(jnp.stack(xs, axis=0), 0, -2)
+    def unchunk_s(y):
+        # Scan-stacked [s, .., C, B] -> [.., N, B] (inverse of chunkify).
+        y = jnp.moveaxis(y, 0, -2)
         return y.reshape(y.shape[:-3] + (N, y.shape[-1]))
 
     if not gains:
-        etas[0], Js[0] = eta_s, J_s
-        for j in range(s - 1, 0, -1):
-            eta_v, J_v = _combine_reduced_leaf(lj(j), (eta_v, J_v), nb2)
-            etas[j], Js[j] = eta_v, J_v
-        return unchunk(Js), -unchunk(etas)
+        # Down-sweep as a reverse scan over in-chunk positions j = 1..s-1
+        # (one compiled body; j = 0 is the scanned chunk-start suffix).
+        rest = tuple(x[1:] for x in lc)
+
+        def down_body(c, leaf_j):
+            nxt = _combine_reduced_leaf(leaf_j, c, nb2)
+            return nxt, nxt
+
+        _, (etas_r, Js_r) = jax.lax.scan(
+            down_body, (eta_v, J_v), rest, reverse=True
+        )
+        cat0 = lambda h, t: jnp.concatenate([h[None], t], axis=0)
+        return (
+            unchunk_s(cat0(J_s, Js_r)),
+            -unchunk_s(cat0(eta_s, etas_r)),
+        )
 
     # Fused gains: run the down-sweep at EVERY in-chunk position (j=0's
     # value recomputes the scanned chunk-start suffix — C cheap extra
     # steps) and emit (K, d) from the step's own Woodbury intermediates.
     rinv_c = chunkify(1.0 / pem["Rdiag"])
     r_c = chunkify(pem["r"])
-    Ks, ds = [None] * s, [None] * s
-    for j in range(s - 1, -1, -1):
+
+    def gains_body(c, xs_j):
+        leaf_j, rinv_j, r_j = xs_j
         eta_j, J_j, K_j, d_j = _combine_reduced_leaf(
-            lj(j), (eta_v, J_v), nb2, gains=(rinv_c[j], r_c[j])
+            leaf_j, c, nb2, gains=(rinv_j, r_j)
         )
-        etas[j], Js[j], Ks[j], ds[j] = eta_j, J_j, K_j, d_j
-        eta_v, J_v = eta_j, J_j
+        return (eta_j, J_j), (eta_j, J_j, K_j, d_j)
+
+    _, (etas_s, Js_s, Ks_s, ds_s) = jax.lax.scan(
+        gains_body, (eta_v, J_v), (lc, rinv_c, r_c), reverse=True
+    )
     Sl = lambda x: x[(Ellipsis, slice(0, N - 1), slice(None))]
     return (
-        unchunk(Js),
-        -unchunk(etas),
-        Sl(unchunk(Ks)),
-        Sl(unchunk(ds)),
+        unchunk_s(Js_s),
+        -unchunk_s(etas_s),
+        Sl(unchunk_s(Ks_s)),
+        Sl(unchunk_s(ds_s)),
     )
 
 
@@ -815,20 +839,29 @@ def _prefix_action_chunked_em(Phi, tvec, x0, nb2: int, s: int) -> jax.Array:
         return jnp.moveaxis(y, -2, 0)
 
     Phc, tc = chunkify(Phi), chunkify(tvec)
-    Phi_c, t_c = Phc[0], tc[0]
-    for j in range(1, s):
-        Phi_c = la.bgemm(Phc[j], Phi_c, nb2)
-        t_c = la.bgemv(Phc[j], t_c, nb2) + tc[j]
+
+    def comp_body(c, xs_j):
+        Phi_j, t_j = xs_j
+        return (
+            la.bgemm(Phi_j, c[0], nb2),
+            la.bgemv(Phi_j, c[1], nb2) + t_j,
+        ), None
+
+    (Phi_c, t_c), _ = jax.lax.scan(
+        comp_body, (Phc[0], tc[0]), (Phc[1:], tc[1:])
+    )
     ends = _prefix_action_em(Phi_c, t_c, x0, nb2)  # x_{(k+1)s} [n, C, B]
     starts = _cat(
         [x0, ends[(Ellipsis, slice(0, C - 1), slice(None))]], em=True
     )
-    xs = [None] * s
-    xv = starts
-    for j in range(s):
-        xv = la.bgemv(Phc[j], xv, nb2) + tc[j]
-        xs[j] = xv  # x_{ks+j+1}
-    out = jnp.moveaxis(jnp.stack(xs, axis=0), 0, -2)
+
+    def step_body(xv, xs_j):
+        Phi_j, t_j = xs_j
+        xn = la.bgemv(Phi_j, xv, nb2) + t_j  # x_{ks+j+1}
+        return xn, xn
+
+    _, xs = jax.lax.scan(step_body, starts, (Phc, tc))
+    out = jnp.moveaxis(xs, 0, -2)
     out = out.reshape(out.shape[:-3] + (Lp, out.shape[-1]))
     return out[(Ellipsis, slice(0, L), slice(None))]
 
