@@ -34,17 +34,27 @@ REFDIR = "/root/reference"
 
 @pytest.fixture
 def no_persistent_cache_write():
-    """Suppress persistent compile-cache WRITES for this test.
+    """Compile-safety guard for the quadruped-scale tests.
 
-    The quadruped-scale f64 vmap/MXU programs segfault inside XLA's CPU
-    ``executable.serialize()`` when the test process is already large
-    (reproduced twice at ~16 GB RSS during the full-suite run, stack:
-    compilation_cache.put_executable_and_time -> executable.serialize();
-    the same test passes in isolation, where serialize succeeds at low
-    RSS). ``jax_persistent_cache_min_compile_time_secs`` is checked
-    BEFORE the serialize call (jax/_src/compiler.py _cache_write), so
-    raising it skips the crashing path while cache READS still work —
-    warm-cache runs stay fast."""
+    The quadruped f64 vmap/MXU programs crash XLA's CPU backend when the
+    test process is already large (~16 GB RSS at ~80% of the full suite;
+    reproduced in two forms: SIGSEGV inside ``executable.serialize()``
+    when writing the persistent cache, and SIGABRT inside
+    ``backend_compile_and_load`` itself once serialize was suppressed).
+    The same tests pass in isolation at low RSS, so the guard does two
+    things before the monster compile:
+
+    1. ``jax.clear_caches()`` + ``gc.collect()``: drop every live
+       compiled executable accumulated by the ~140 preceding tests —
+       the big cross-module programs are on the persistent disk cache
+       and reload quickly where still needed.
+    2. Raise ``jax_persistent_cache_min_compile_time_secs`` so the
+       crashing serialize path is skipped for this test's programs
+       (cache READS still work)."""
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
     old = jax.config.jax_persistent_cache_min_compile_time_secs
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
     yield
