@@ -123,11 +123,17 @@ def _gemm_kernel(*refs, p, K, q, ta, tbt, has_cin, sub, lam_level, logb, t1,
                 acc = acc + rhs(k)[:w] * lhs(i, k)[None]
             if has_cin:
                 acc = c_ref[i, :w] - acc if sub else c_ref[i, :w] + acc
-            if has_diag:
-                acc = acc.at[w - 1].add(d_ref[i])
-            if dconst:
-                acc = acc.at[w - 1].add(dconst)
             o_ref[i, :w] = acc
+            if has_diag or dconst:
+                # Diagonal adds as a second static-index ref store: a value
+                # .at[].add lowers to scatter-add, which Mosaic does not
+                # implement (interpret mode masked this).
+                dg = acc[w - 1]
+                if has_diag:
+                    dg = dg + d_ref[i]
+                if dconst:
+                    dg = dg + dconst
+                o_ref[i, i] = dg
         for i in range(p):
             for j in range(i + 1, p):
                 o_ref[i, j] = o_ref[j, i]
@@ -155,11 +161,15 @@ def _gemm_kernel(*refs, p, K, q, ta, tbt, has_cin, sub, lam_level, logb, t1,
                 acc = acc + rhs(k) * lhs(i, k)[None]
             if has_cin:
                 acc = c_ref[i] - acc if sub else c_ref[i] + acc
-            if has_diag:
-                acc = acc.at[i].add(d_ref[i])
-            if dconst:
-                acc = acc.at[i].add(dconst)
             o_ref[i] = acc
+            # Diagonal adds as a second static-index ref store (a value
+            # .at[].add lowers to scatter-add; Mosaic has no lowering).
+            dg = acc[i]
+            if has_diag:
+                dg = dg + d_ref[i]
+            if dconst:
+                dg = dg + dconst
+            o_ref[i, i] = dg
         return
 
     jax.lax.fori_loop(0, p, body, 0)
