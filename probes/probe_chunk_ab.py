@@ -48,9 +48,11 @@ def fd(make, batch, K1=1, K2=3, reps=3):
 
 def main():
     print(f"backend={jax.default_backend()}", flush=True)
+    Bq = int(os.environ.get("PROBE_BATCH", "128"))
+    print(f"batch={Bq}", flush=True)
     prob = rt.random_problem(jax.random.PRNGKey(1), 512, 36, 12, jnp.float32)
     batch = rt.batch_problems(
-        prob, jax.random.split(jax.random.PRNGKey(0), 128)
+        prob, jax.random.split(jax.random.PRNGKey(0), Bq)
     )
     jax.block_until_ready(batch)
 
@@ -73,8 +75,8 @@ def main():
         print(f"pscan_chunk={s}:", flush=True)
         t = fd(chain, batch)
         print(
-            f"pscan_chunk={s}: {t*1e3:.1f} ms/128-chunk -> "
-            f"{128/t:.0f} solves/s (full-B equivalent)",
+            f"pscan_chunk={s}: {t*1e3:.1f} ms/{Bq}-chunk -> "
+            f"{Bq/t:.0f} solves/s (full-B equivalent)",
             flush=True,
         )
 

@@ -707,9 +707,10 @@ def _auto_chunk(N: int, chunk: int) -> int:
     chunks)."""
     if chunk == 0:
         # Measured on chip at the quadruped config (probe_chunk_ab.py,
-        # N=512 nx=36 nu=12 B=128): s=16 > s=8 > s=4 > unchunked
-        # (2405 / 2315 / 2033 / 1351 solves/s full-B equivalent).
-        for s in (16, 8, 4):
+        # N=512 nx=36 nu=12 B=128, round 5 with fused epilogues + scan
+        # folds): s=32 > s=16 (3178 / 2750 solves/s; round 4: 16 > 8 > 4 >
+        # unchunked at 2405 / 2315 / 2033 / 1351).
+        for s in (32, 16, 8, 4):
             if N % s == 0 and N >= 64:
                 return s
         return 1

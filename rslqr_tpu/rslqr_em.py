@@ -286,11 +286,26 @@ def _level_writeback_em(Fls, level, S, nb):
 
 def _level_cholsolve_em(Lc, Ss, level, nb):
     """Cached-Cholesky solves of the upper-level products
-    (ndlqr_SolveCholeskyFactor, nested_dissection.c:136-152)."""
-    return {
-        level + 1 + i: la.bcho_solve(Lc, S, nb + 1)
-        for i, S in enumerate(Ss[1:])
-    }
+    (ndlqr_SolveCholeskyFactor, nested_dissection.c:136-152).
+
+    All upper levels solve in ONE stacked-RHS substitution (width n*U
+    instead of U separate width-n solves): the unrolled lane kernels do
+    identical FLOPs either way, but the factor planes load once and the
+    per-call XLA stage overhead drops U-fold."""
+    sols = _cholsolve_stacked(Lc, Ss[1:], nb)
+    return {level + 1 + i: s for i, s in enumerate(sols)}
+
+
+def _cholsolve_stacked(Lc, Ss, nb):
+    """Solve a list of equal-shape block RHS against one cached factor as a
+    single stacked substitution (width n*len(Ss)); returns the split list."""
+    if len(Ss) <= 1:
+        return [la.bcho_solve(Lc, S, nb + 1) for S in Ss]
+    n = Ss[0].shape[-(nb + 3)]
+    qax = Ss[0].ndim - (nb + 2)  # block-column axis of [.., n, n, *b]
+    sol = la.bcho_solve(Lc, jnp.concatenate(Ss, axis=qax), nb + 1)
+    idx = lambda i: (slice(None),) * qax + (slice(i * n, (i + 1) * n),)
+    return [sol[idx(i)] for i in range(len(Ss))]
 
 
 def _level_update_xla_em(level, depth, Fls, Fxs, Fus, fsols, nb):
@@ -656,8 +671,8 @@ def _sweep_pair_em(
     S2 = _pair_prepass(A, B, level, depth, Fls, Fxs, Fus, fsols1, nb)
     Lc2 = la.bcholesky(S2[0], nb + 1)
     fsols2 = {
-        level + 2 + i: la.bcho_solve(Lc2, S, nb + 1)
-        for i, S in enumerate(S2[1:])
+        level + 2 + i: s
+        for i, s in enumerate(_cholsolve_stacked(Lc2, S2[1:], nb))
     }
     ex_next = _schur_pallas_pair(
         A, B, level, depth, Fls, Fxs, Fus, fsols1, S2[0], fsols2, n, m, mode
@@ -864,7 +879,7 @@ def _factorize_em_impl(
         nk = nb + 1
         A, B, qinv, rinv, Ss = _leaf_products0(pbl, t, n, m, nb)
         Lc0 = la.bcholesky(Ss[0], nk)
-        fsols0 = [la.bcho_solve(Lc0, S, nk) for S in Ss[1:]]
+        fsols0 = _cholsolve_stacked(Lc0, Ss[1:], nb)
         Bb = A.shape[3]
         use_flat = _flat_path_ok(fdt, nb, N, pbl.A.shape[3:], opts)
         if use_flat:
