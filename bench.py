@@ -276,15 +276,20 @@ def accuracy_gate(results, batch, batch_size, nhorizon, reps):
         log(f"[bench] refined f64 DEVICE max |kkt - golden|: {dgd:.3e}")
         ok = ok and dgd < ACCURACY_BAR
 
-    # Throughput of the f64-accurate path on the batched config: the
-    # device double-float program, wall-clocked (host work is only the
-    # final trajectory fetch).
-    def run(b):
-        out, _ = _refine.solve_refined_device(b, iterations=iters)
-        return float(out.sum())
+    # Throughput of the f64-accurate path on the batched config:
+    # refine.refined_kkt_device — the whole df-refined solve is ONE
+    # device program producing packed (hi, lo) KKT arrays; only a scalar
+    # leaves the device (the earlier solve_refined_device wall-clock
+    # fetched the full ~70 MB batch through the tunnel every rep, which
+    # measured the tunnel, not the solver: 194 "solves"/s).
+    def run_kkt(b):
+        hi, lo, res = _refine.refined_kkt_device(b, iterations=iters)
+        return jnp.sum(hi) + jnp.sum(lo) + res
 
+    fn = jax.jit(run_kkt)
     times, compile_s = _time_stats(
-        run, batch, min(reps, 3), "refined_f64_device", warmup=1
+        lambda b: float(fn(b)), batch, min(reps, 3),
+        "refined_f64_device", warmup=1
     )
     med = sorted(times)[len(times) // 2]
     sps = batch_size / med

@@ -19,6 +19,7 @@ only O(N) f64 work per iteration.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -442,6 +443,40 @@ def _refine_df_impl(phi, plo, iterations, options):
 _refine_df_jit = jax.jit(
     _refine_df_impl, static_argnames=("iterations", "options")
 )
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "options"))
+def refined_kkt_device(prob: LQRProblem, iterations: int = 3, options=None):
+    """Fully-jittable double-float refined solve: device problem in, packed
+    KKT ``(hi, lo)`` device arrays + residual out — the production serving
+    entry for f64-accurate batched solves.
+
+    Unlike :func:`solve_refined_device` (which splits a numpy float64
+    problem on the host — the right call for full-f64 *inputs*), this
+    never leaves the device: the problem is taken at its device precision
+    (``lo = 0``) and the refinement drives the residual of THAT problem to
+    ~1e-10 — double-float accuracy of the stored problem, at f32 device
+    rates with only scalar fetches. Returns ``(kkt_hi [*b, nvars],
+    kkt_lo [*b, nvars], residual)``; the f64 solution is ``hi + lo``.
+    """
+    from .problem import pack_solution
+
+    nb = prob.A.ndim - 3
+    phi = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), prob)
+    plo = jax.tree.map(jnp.zeros_like, phi)
+    (Yd, Xd, Ud), res = _refine_df_impl(phi, plo, iterations, None)
+
+    def bf(x):  # batch-last [N, p, *b] -> leading-batch [*b, N, p]
+        if nb == 0:
+            return x
+        nd = x.ndim
+        perm = tuple(range(nd - nb, nd)) + tuple(range(nd - nb))
+        return jnp.transpose(x, perm)
+
+    pack = lambda i: pack_solution(
+        bf(Yd[i]), bf(Xd[i]), bf(Ud[i][:-1])
+    )
+    return pack(0), pack(1), res
 
 
 def solve_refined_device(

@@ -120,3 +120,28 @@ def test_df_arithmetic_primitives():
     p64 = np.asarray(p[0], np.float64) + np.asarray(p[1], np.float64)
     np.testing.assert_allclose(s64, a64 + b64, rtol=1e-14, atol=1e-14)
     np.testing.assert_allclose(p64, a64 * b64, rtol=1e-13, atol=1e-13)
+
+
+def test_refined_kkt_device_jittable(lqr_prob_256_path):
+    """refined_kkt_device (round 5): the fully-jittable serving entry —
+    packed (hi, lo) device KKT arrays whose sum solves the stored (f32)
+    problem to double-float accuracy, with no host round trips inside."""
+    import jax
+    import numpy as np
+
+    import rslqr_tpu as rt
+    from rslqr_tpu import refine
+
+    prob32 = rt.read_lqr_problem_json(lqr_prob_256_path, dtype="float32")[0]
+    batch = rt.batch_problems(
+        prob32, jax.random.split(jax.random.PRNGKey(0), 3)
+    )
+    hi, lo, res = refine.refined_kkt_device(batch, iterations=3)
+    assert hi.shape == (3, prob32.nvars)
+    kkt = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+    # Residual of the f32-stored problem at the df solution: ~1e-9 level.
+    p64 = jax.tree.map(lambda x: np.asarray(x, np.float64), batch)
+    for i in range(3):
+        pi = jax.tree.map(lambda x: x[i], p64)
+        assert float(rt.kkt_residual(pi, kkt[i])) < 1e-6
+    assert float(res) < 1e-4
