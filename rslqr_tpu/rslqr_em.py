@@ -298,8 +298,14 @@ def _level_cholsolve_em(Lc, Ss, level, nb):
 
 def _cholsolve_stacked(Lc, Ss, nb):
     """Solve a list of equal-shape block RHS against one cached factor as a
-    single stacked substitution (width n*len(Ss)); returns the split list."""
-    if len(Ss) <= 1:
+    single stacked substitution (width n*len(Ss)); returns the split list.
+
+    Small-block (unrolled lane) regime only: the mid-block planes
+    cho-solve kernel holds the whole RHS block in VMEM, and a stacked
+    width-n*U RHS at nx=36 exceeds the 128 MB budget (measured: 175 MB
+    requested, quadruped rslqr compile OOM)."""
+    n = Lc.shape[-(nb + 3)]
+    if len(Ss) <= 1 or n > la.small_block_threshold():
         return [la.bcho_solve(Lc, S, nb + 1) for S in Ss]
     n = Ss[0].shape[-(nb + 3)]
     qax = Ss[0].ndim - (nb + 2)  # block-column axis of [.., n, n, *b]
