@@ -158,6 +158,19 @@ class SolveOptions:
     # when the horizon allows), 1 = force the unchunked leaf-pair scan,
     # >= 2 = explicit chunk size (must divide the horizon).
     pscan_chunk: int = 0
+    # Batched interior recovery for the chunked pscan path: the serial
+    # within-chunk fold scans EMIT their carries (which ARE the
+    # within-chunk suffix/prefix composites), and the interior
+    # cost-to-gos / rollout states are then recovered in ONE reduced
+    # combine / one gemv at full ``[C*(s-1)*B]`` lane width instead of
+    # ``s - 1`` serial steps over ``[C*B]``-lane planes. Trades ~1.4x
+    # more FLOPs in the value down-sweep (full-element reduced combines
+    # instead of rank-m Woodbury steps, plus a separate full-width gains
+    # pass) for the elimination of two kernel-granularity-bound serial
+    # stages (measured 30% efficiency, probes/probe_pscan_stages_chunked
+    # .log). Gains/rollout outputs are bitwise-independent of the flag's
+    # algebra only up to reassociation; parity is tested to f32 tolerance.
+    pscan_batched_interior: bool = False
 
     def __post_init__(self):
         if self.layout not in _LAYOUTS:

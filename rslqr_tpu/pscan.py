@@ -600,7 +600,9 @@ def _leaf_em(pem, nb2: int):
     )
 
 
-def _value_scan_chunked_em(pem, nb2: int, s: int, gains: bool = False):
+def _value_scan_chunked_em(
+    pem, nb2: int, s: int, gains: bool = False, batched: bool = False
+):
     """Chunked hybrid suffix scan (element-major): serial Woodbury leaf
     folds build one full composite per ``s``-knot chunk, the generic
     odd-even tree reduces only the N/s composites, and the interior
@@ -627,7 +629,10 @@ def _value_scan_chunked_em(pem, nb2: int, s: int, gains: bool = False):
     lc = tuple(chunkify(x) for x in leaf)
     lj = lambda j: tuple(x[j] for x in lc)
 
-    comp = _combine_leaf_pair(lj(s - 2), lj(s - 1), nb2)
+    emit = gains and batched
+    comp0 = _combine_leaf_pair(lj(s - 2), lj(s - 1), nb2)
+    comp = comp0
+    comps = None
     if s > 2:
         # Serial fold as lax.scan: ONE compiled combine body instead of
         # s - 2 unrolled copies (the unrolled form dominated the quadruped
@@ -636,10 +641,27 @@ def _value_scan_chunked_em(pem, nb2: int, s: int, gains: bool = False):
         # stacked leaf arrays — same access pattern as the unrolled loop.
         rest = tuple(x[: s - 2] for x in lc)
 
-        def fold_body(c, leaf_j):
-            return _combine_leaf_full(leaf_j, c, nb2), None
+        if emit:
+            # Emit every carry: ys[j] is the composite of in-chunk
+            # positions j..s-1, i.e. exactly the within-chunk suffix
+            # element the down-sweep needs at position j (reverse scan
+            # stacks ys at the xs input index).
+            def fold_body(c, leaf_j):
+                nxt = _combine_leaf_full(leaf_j, c, nb2)
+                return nxt, nxt
 
-        comp, _ = jax.lax.scan(fold_body, comp, rest, reverse=True)
+            comp, comps_r = jax.lax.scan(fold_body, comp0, rest, reverse=True)
+            comps = tuple(
+                jnp.concatenate([cr, c0[None]], axis=0)
+                for cr, c0 in zip(comps_r, comp0)
+            )  # [s-1, ...]: suffix composites for j = 0..s-2
+        else:
+            def fold_body(c, leaf_j):
+                return _combine_leaf_full(leaf_j, c, nb2), None
+
+            comp, _ = jax.lax.scan(fold_body, comp0, rest, reverse=True)
+    elif emit:
+        comps = tuple(c0[None] for c0 in comp0)
 
     eta_s, J_s = _suffix_pj(comp, nb2, em=True)  # suffix at chunk starts
     # Interior seeds: the NEXT chunk's boundary suffix; zeros for the last
@@ -657,6 +679,40 @@ def _value_scan_chunked_em(pem, nb2: int, s: int, gains: bool = False):
         # Scan-stacked [s, .., C, B] -> [.., N, B] (inverse of chunkify).
         y = jnp.moveaxis(y, 0, -2)
         return y.reshape(y.shape[:-3] + (N, y.shape[-1]))
+
+    if emit:
+        # Batched interior recovery (pscan_batched_interior): every
+        # in-chunk cost-to-go j = 0..s-2 is one reduced combine of the
+        # emitted suffix composite against the chunk's seed — a SINGLE
+        # _combine_reduced call at [C*(s-1)*B] lane width replaces the
+        # s-1-step serial down-sweep (measured 31% kernel efficiency at
+        # [C*B] = 2048 lanes). j = s-1 is a single batched Woodbury leaf
+        # step. Gains then come from one full-width _gains_from pass.
+        sm1 = s - 1
+
+        def flat_j(y):
+            # [s-1, .., C, B] -> [.., C*(s-1), B], chunk-major j-minor.
+            y = jnp.moveaxis(y, 0, -2)
+            return y.reshape(y.shape[:-3] + (C * sm1, y.shape[-1]))
+
+        rep = lambda x: jnp.repeat(x, sm1, axis=-2)
+        eta_i, J_i = _combine_reduced(
+            tuple(flat_j(x) for x in comps), (rep(eta_v), rep(J_v)), nb2
+        )
+        eta_l, J_l = _combine_reduced_leaf(lj(s - 1), (eta_v, J_v), nb2)
+        uf = lambda y: y.reshape(y.shape[:-2] + (C, sm1, y.shape[-1]))
+        ex = lambda y: y[(Ellipsis, slice(None), None, slice(None))]
+        fin = lambda yi, yl: jnp.concatenate(
+            [uf(yi), ex(yl)], axis=-2
+        ).reshape(yi.shape[:-2] + (N, yi.shape[-1]))
+        P_all, p_all = fin(J_i, J_l), -fin(eta_i, eta_l)
+        S = lambda x: x[(Ellipsis, slice(0, N - 1), slice(None))]
+        Sn = lambda x: x[(Ellipsis, slice(1, N), slice(None))]
+        K, d = _gains_from(
+            S(pem["A"]), S(pem["B"]), S(pem["Rdiag"]), S(pem["r"]),
+            S(pem["f"]), Sn(P_all), Sn(p_all), nb2, em=True,
+        )
+        return P_all, p_all, K, d
 
     if not gains:
         # Down-sweep as a reverse scan over in-chunk positions j = 1..s-1
@@ -812,7 +868,9 @@ def _prefix_action_em(Phi, tvec, x0, nb2: int) -> jax.Array:
     return _interleave(a_even, a_pair, em=True)
 
 
-def _prefix_action_chunked_em(Phi, tvec, x0, nb2: int, s: int) -> jax.Array:
+def _prefix_action_chunked_em(
+    Phi, tvec, x0, nb2: int, s: int, batched: bool = False
+) -> jax.Array:
     """Chunked twin of :func:`_prefix_action_em`: serial within-chunk map
     composition (one gemm per step) builds one affine composite per
     ``s``-step chunk, the odd-even prefix runs over only L/s composites,
@@ -841,6 +899,45 @@ def _prefix_action_chunked_em(Phi, tvec, x0, nb2: int, s: int) -> jax.Array:
 
     Phc, tc = chunkify(Phi), chunkify(tvec)
 
+    if batched:
+        # Emit the fold's carries: ys[k] is the within-chunk PREFIX
+        # composite covering steps 0..k+1 (k = 0..s-2); with the init
+        # (step 0 alone) prepended, entry j of the stack maps the chunk
+        # start to x_{cs+j+1}. Interior states then follow from ONE
+        # batched gemv at [C*(s-1)*B] width instead of s serial steps.
+        def comp_body(c, xs_j):
+            Phi_j, t_j = xs_j
+            nxt = (
+                la.bgemm(Phi_j, c[0], nb2),
+                la.bgemv(Phi_j, c[1], nb2) + t_j,
+            )
+            return nxt, nxt
+
+        (Phi_c, t_c), (Phs, ts) = jax.lax.scan(
+            comp_body, (Phc[0], tc[0]), (Phc[1:], tc[1:])
+        )
+        ends = _prefix_action_em(Phi_c, t_c, x0, nb2)  # x_{(k+1)s}
+        starts = _cat(
+            [x0, ends[(Ellipsis, slice(0, C - 1), slice(None))]], em=True
+        )
+        sm1 = s - 1
+        Php = jnp.concatenate([Phc[0][None], Phs[: sm1 - 1]], axis=0)
+        tp = jnp.concatenate([tc[0][None], ts[: sm1 - 1]], axis=0)
+
+        def flat_j(y):  # [s-1, .., C, B] -> [.., C*(s-1), B]
+            y = jnp.moveaxis(y, 0, -2)
+            return y.reshape(y.shape[:-3] + (C * sm1, y.shape[-1]))
+
+        xi = la.bgemv(
+            flat_j(Php), jnp.repeat(starts, sm1, axis=-2), nb2
+        ) + flat_j(tp)
+        xi = xi.reshape(xi.shape[:-2] + (C, sm1, xi.shape[-1]))
+        out = jnp.concatenate(
+            [xi, ends[(Ellipsis, slice(None), None, slice(None))]], axis=-2
+        )
+        out = out.reshape(out.shape[:-3] + (Lp, out.shape[-1]))
+        return out[(Ellipsis, slice(0, L), slice(None))]
+
     def comp_body(c, xs_j):
         Phi_j, t_j = xs_j
         return (
@@ -868,7 +965,7 @@ def _prefix_action_chunked_em(Phi, tvec, x0, nb2: int, s: int) -> jax.Array:
 
 
 def _solve_pscan_em(
-    prob: LQRProblem, nb: int, chunk: int = 0
+    prob: LQRProblem, nb: int, chunk: int = 0, batched_interior: bool = False
 ) -> RiccatiSolution:
     """Mid-block production path: the whole scan in element-major layout.
 
@@ -906,7 +1003,9 @@ def _solve_pscan_em(
     if s >= 2:
         # Chunked scan with gains fused into its down-sweep (no separate
         # Quu/Qux gemms, Cholesky, or P[1:]-slab read).
-        P, p, K, d = _value_scan_chunked_em(pem, nb2, s, gains=True)
+        P, p, K, d = _value_scan_chunked_em(
+            pem, nb2, s, gains=True, batched=batched_interior
+        )
     else:
         P, p = _value_scan_em(pem, nb2, 1)
         K, d = _gains_from(
@@ -928,7 +1027,9 @@ def _solve_pscan_em(
     )
     x0e = pbl.x0[:, None, :] if nb else pbl.x0[:, None]
     if s >= 2:
-        xs = _prefix_action_chunked_em(Phi, tvec, x0e, nb2, s)
+        xs = _prefix_action_chunked_em(
+            Phi, tvec, x0e, nb2, s, batched=batched_interior
+        )
     else:
         xs = _prefix_action_em(Phi, tvec, x0e, nb2)
     X = _cat([x0e, xs], em=True)  # [n, N, B]
@@ -994,7 +1095,9 @@ def _solve_pscan_impl(prob: LQRProblem, opts) -> RiccatiSolution:
             )
         )
         if mid_em:
-            return _solve_pscan_em(prob, nb, opts.pscan_chunk)
+            return _solve_pscan_em(
+                prob, nb, opts.pscan_chunk, opts.pscan_batched_interior
+            )
         if opts.layout == "auto":
             bshape = prob.A.shape[:nb]
             flat = jax.tree.map(

@@ -249,6 +249,41 @@ def test_pscan_midblock_chunked_odd_chunk_count():
     assert float(jnp.max(jnp.abs(em - ref))) < 1e-11
 
 
+@pytest.mark.parametrize("s", [2, 4, 8])
+def test_pscan_midblock_batched_interior_parity(mid_batch, s):
+    """pscan_batched_interior: the fold scans emit their carries (the
+    within-chunk suffix/prefix composites) and interior cost-to-gos /
+    rollout states are recovered in one full-width reduced combine /
+    gemv instead of s-1 serial steps. The full solution pytree — the
+    batched path reassociates both the value and the rollout algebra —
+    must match the grid path."""
+    sol_g = pscan.solve_pscan(mid_batch, options=OPTS_REF)
+    opts = SolveOptions(
+        layout="em", pallas="interpret", pscan_chunk=s,
+        pscan_batched_interior=True,
+    )
+    sol_c = pscan.solve_pscan(mid_batch, options=opts)
+    for f in ("K", "d", "P", "p", "X", "U", "Y"):
+        err = float(jnp.max(jnp.abs(getattr(sol_c, f) - getattr(sol_g, f))))
+        assert err < 1e-10, (f, err)
+
+
+def test_pscan_midblock_batched_interior_odd_chunks():
+    """Odd chunk count + rollout identity-padding under the batched
+    interior recovery (N=24, s=8 -> C=3; rollout L=23 pads to 24)."""
+    prob = rt.random_problem(jax.random.PRNGKey(7), 24, 12, 4, jnp.float64)
+    batch = rt.batch_problems(
+        prob, jax.random.split(jax.random.PRNGKey(8), 64)
+    )
+    ref = pscan.solve_pscan_kkt(batch, options=OPTS_REF)
+    opts = SolveOptions(
+        layout="em", pallas="interpret", pscan_chunk=8,
+        pscan_batched_interior=True,
+    )
+    em = pscan.solve_pscan_kkt(batch, options=opts)
+    assert float(jnp.max(jnp.abs(em - ref))) < 1e-11
+
+
 def test_pscan_chunk_invalid_raises(mid_batch):
     """Explicit chunk sizes must divide the horizon with >= 2 chunks."""
     opts = SolveOptions(layout="em", pallas="interpret", pscan_chunk=5)
