@@ -327,8 +327,15 @@ def quadruped_accuracy_gate(results, qbatch, quad_names):
     KKT residuals + cross-family agreement on one scenario chunk, gated
     with f32-appropriate relative bars. The quadruped f32 kernels
     (unpivoted LU scan combines at nx=36) previously shipped with zero
-    on-chip accuracy numbers (VERDICT r4 missing #1)."""
-    sub = jax.tree.map(lambda x: x[:8], qbatch)
+    on-chip accuracy numbers (VERDICT r4 missing #1).
+
+    The sub-batch is one full 128-scenario chunk: smaller batches fall
+    off the lane-aligned element-major path onto the vmap fallback,
+    whose fully-unrolled N=512 recursion both compiles for tens of
+    minutes through the remote helper AND is not the path the timing
+    runs exercise — the gate must test the production program."""
+    gb = min(128, qbatch.x0.shape[0])
+    sub = jax.tree.map(lambda x: x[:gb], qbatch)
     outs = {}
     for name in quad_names:
         out = jax.jit(SOLVERS[name])(sub)
